@@ -1,0 +1,81 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place where execution knobs live so tests / bench / pipeline all agree:
+AQE on (runtime re-plan + skew-join splitting), Arrow on (all Python UDFs in this
+engine are vectorized pandas UDFs), UTC session timezone (DuckDB-oracle parity),
+and shuffle partitions sized to the local core count rather than the 200 default.
+On a real cluster the same builder is used; only master/shuffle-partitions change
+via ``spark-submit`` conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dqc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``cpus=None`` means: respect an externally configured master (spark-submit /
+    existing session); otherwise run ``local[$SPARK_GRAFT_CPUS or *]``.
+    """
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(cpus_env) if cpus_env else (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(4, int(cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet scans: default 128MB splits are fine at scale; local test data
+        # is small so AQE coalescing handles the tiny-partition case.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+_shipped: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Local equivalent of ``spark-submit --py-files dqc.zip``: pandas UDFs
+    (date re-suggestion, langid, decode) reference package modules from their
+    closures, so workers must be able to import the package regardless of cwd.
+    """
+    import shutil
+    import tempfile
+
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="dqc_pyfiles_"), "dqc_spark_pkg"),
+        "zip",
+        root_dir=root,
+        base_dir=os.path.basename(pkg_dir),
+    )
+    spark.sparkContext.addPyFile(zpath)
+    _shipped.add(key)
