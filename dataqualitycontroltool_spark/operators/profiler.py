@@ -1,0 +1,200 @@
+"""Per-column profilers (reference §2.5 A1-A9) as single-pass Spark aggregates.
+
+The reference computes per-column stats by materializing every column as a
+Python list and calling numpy/Counter on it (``model/qctypes/numerical.py:73-102``,
+``integer.py:106-125``, ``nominal.py:15-31``, ``text.py:62-78``).  Here each
+profile is a declarative plan: one scan, partial/final hash aggregation, no
+driver-side data.
+
+Parity decisions (SURVEY §7):
+* exact ``percentile`` (linear interpolation — matches ``np.quantile`` and
+  DuckDB ``quantile_cont``), NOT ``approx_percentile``; callers can pass
+  ``exact=False`` to trade for the sketch-based version at extreme scale.
+* sample stddev (ddof=1) → ``stddev_samp`` (numerical.py:87).
+* mode/top tie-break: ``Counter.most_common(1)`` breaks ties by insertion
+  (file) order, which has no Spark equivalent; we pin ties to the SMALLEST
+  value (freq desc, value asc) and use the same rule in oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_STAT_DECIMALS = 6  # round float aggregates so Spark/DuckDB ulp noise cancels
+
+
+def _pct_expr(col: str, ps: str, exact: bool = True) -> str:
+    fn = "percentile" if exact else "approx_percentile"
+    return f"{fn}({col}, array({ps}))"
+
+
+def profile_numerical(
+    df: DataFrame, col: str, threshold: float = 3.0, exact: bool = True
+) -> DataFrame:
+    """A1 (numerical.py:73-102): mean, sample std, min/max, exact q1/median/q3,
+    mean±t·std outlier bounds, outlier count.
+
+    One-row result.  Two logical passes over the column — stats, then outlier
+    count against the computed bounds — expressed as one DataFrame via a
+    broadcast join of the 1-row stats (no driver round-trip, resilient to AQE).
+    """
+    d = _STAT_DECIMALS
+    stats = (
+        df.agg(
+            F.mean(col).alias("_mean"),
+            F.stddev_samp(col).alias("_std"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.expr(_pct_expr(col, "0.25d, 0.5d, 0.75d", exact)).alias("_q"),
+        )
+        .select(
+            F.round("_mean", d).alias("mean"),
+            F.round("_std", d).alias("std"),
+            "min",
+            "max",
+            F.round(F.col("_q")[0], d).alias("q1"),
+            F.round(F.col("_q")[1], d).alias("median"),
+            F.round(F.col("_q")[2], d).alias("q3"),
+            F.round(F.col("_mean") + threshold * F.col("_std"), d).alias("upperbound"),
+            F.round(F.col("_mean") - threshold * F.col("_std"), d).alias("lowerbound"),
+        )
+    )
+    # outliers: value >= upper OR value <= lower (numerical.py:95-99 uses >=/<=)
+    joined = df.select(F.col(col).alias("_v")).join(
+        F.broadcast(stats),
+        (F.col("_v") >= F.col("upperbound")) | (F.col("_v") <= F.col("lowerbound")),
+        "right",
+    )
+    return joined.groupBy(
+        "mean", "std", "min", "max", "q1", "median", "q3", "upperbound", "lowerbound"
+    ).agg(F.count("_v").alias("outliers"))
+
+
+def outlier_rows(
+    df: DataFrame, col: str, key: str, threshold: float = 3.0, exact: bool = True
+) -> DataFrame:
+    """A1's ``outliersrows`` — (key, value) of rows outside mean±t·std.
+    Keyed by a stable column, not 1-based file position (SURVEY §7 risk 3)."""
+    bounds = df.agg(
+        (F.mean(col) + threshold * F.stddev_samp(col)).alias("hi"),
+        (F.mean(col) - threshold * F.stddev_samp(col)).alias("lo"),
+    )
+    return (
+        df.select(key, col)
+        .join(F.broadcast(bounds))
+        .where((F.col(col) >= F.col("hi")) | (F.col(col) <= F.col("lo")))
+        .select(key, col)
+    )
+
+
+def _mode_df(df: DataFrame, col: str) -> DataFrame:
+    """Deterministic mode: highest count, ties → smallest value (J9/A2)."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(col).asc())
+        .limit(1)
+        .select(F.col(col).alias("mode"), F.col("count").alias("freq"))
+    )
+
+
+def profile_integer(df: DataFrame, col: str, exact: bool = True) -> DataFrame:
+    """A2 (integer.py:106-125): mode + freq, min, max, int-cast quantiles."""
+    stats = df.agg(
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.expr(_pct_expr(col, "0.25d, 0.5d, 0.75d", exact)).alias("_q"),
+    ).select(
+        "min",
+        "max",
+        F.col("_q")[0].cast("long").alias("q1"),
+        F.col("_q")[1].cast("long").alias("median"),
+        F.col("_q")[2].cast("long").alias("q3"),
+    )
+    return _mode_df(df, col).join(F.broadcast(stats)).select(
+        "mode", "freq", "min", "max", "q1", "median", "q3"
+    )
+
+
+def profile_date(df: DataFrame, col: str) -> DataFrame:
+    """A3 (date.py:70-85): mode + freq, min, max over date values."""
+    stats = df.agg(F.min(col).alias("min"), F.max(col).alias("max"))
+    return _mode_df(df, col).join(F.broadcast(stats)).select("mode", "freq", "min", "max")
+
+
+def profile_nominal(df: DataFrame, col: str) -> DataFrame:
+    """A4 (nominal.py:15-31): top + freq, sorted category list, category count.
+    Categories emitted as a comma-joined string (stable across engines)."""
+    cats = df.where(F.col(col).isNotNull()).agg(
+        F.array_join(F.array_sort(F.collect_set(col)), ",").alias("categories"),
+        F.countDistinct(col).alias("categories_num"),
+    )
+    return _mode_df(df, col).join(F.broadcast(cats)).select(
+        F.col("mode").alias("top"), "freq", "categories", "categories_num"
+    )
+
+
+def profile_text(df: DataFrame, col: str) -> DataFrame:
+    """A5 (text.py:62-78): distinct count, top + freq, top-5 / bottom-5 by
+    frequency.  Tie-breaks pinned to value order (see module docstring)."""
+    counts = df.where(F.col(col).isNotNull()).groupBy(col).count()
+    top5 = (
+        counts.orderBy(F.col("count").desc(), F.col(col).asc())
+        .limit(5)
+        .agg(F.array_join(F.collect_list(col), ",").alias("top5"))
+    )
+    bottom5 = (
+        counts.orderBy(F.col("count").asc(), F.col(col).asc())
+        .limit(5)
+        .agg(F.array_join(F.collect_list(col), ",").alias("bottom5"))
+    )
+    uniq = df.agg(F.countDistinct(col).alias("unique"))
+    return (
+        _mode_df(df, col)
+        .join(F.broadcast(uniq))
+        .join(F.broadcast(top5))
+        .join(F.broadcast(bottom5))
+        .select("unique", F.col("mode").alias("top"), "freq", "top5", "bottom5")
+    )
+
+
+def rows_per_valid_count(validated_with_flags: DataFrame, col: str = "n_valid") -> DataFrame:
+    """A8 (tablereport.py:399-412): invert {row: n_valid_cols} to a histogram
+    {n_valid_cols: n_rows} — a plain groupBy, no driver Counters."""
+    return validated_with_flags.groupBy(col).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def quantile_bucket_stats(
+    flags: DataFrame, count_col: str, total_cols: int
+) -> DataFrame:
+    """A9 (tablereport.py:387-440): bucket rows into 0-24 / 25-49 / 50-74 /
+    75-99 / 100 % filled-or-valid bands and count rows per band."""
+    pct = F.col(count_col) * 100.0 / F.lit(total_cols)
+    bucket = (
+        F.when(pct >= 100.0, "100%")
+        .when(pct >= 75.0, "75-99%")
+        .when(pct >= 50.0, "50-74%")
+        .when(pct >= 25.0, "25-49%")
+        .otherwise("0-24%")
+    )
+    return (
+        flags.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def group_mode(df: DataFrame, group_keys: list[str], value_col: str) -> DataFrame:
+    """A10/A11 (mrisequence.py:167-183, mristudy.py:25-29): most-frequent value
+    per group ("consensus"), ties → smallest value.  Pattern: count per
+    (group, value), then rank with a window — two shuffles max, partial
+    aggregation map-side; safe for skewed groups because the heavy key is
+    already reduced by the first aggregate."""
+    counts = df.groupBy(*group_keys, value_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(*group_keys).orderBy(F.col("_n").desc(), F.col(value_col).asc())
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(*group_keys, F.col(value_col).alias("consensus"), F.col("_n").alias("freq"))
+    )

@@ -1,0 +1,135 @@
+"""Profiler golden-parity tests.
+
+Inputs are the reference's own fixture CSVs (read-only from
+/root/reference/tests/test_datasets/); expected values transcribed from the
+reference's test suite (tests/qctypes/test_{numerical,integer,nominal,date,text}.py).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.operators import profiler
+from dataqualitycontroltool_spark.operators.duplicates import duplicate_keys, flag_duplicates
+
+FIX = "/root/reference/tests/test_datasets"
+
+
+def _load(spark, name):
+    return spark.read.option("header", True).csv(f"{FIX}/{name}")
+
+
+# test_numerical.py:85-101 goldens (rounded to 10 digits there; we assert 1e-6)
+NUM_GOLDENS = {
+    "Variable_1": dict(mean=-0.0227587041, std=0.9347881169, min=-2.2315064208,
+                       max=3.0881165577, q1=-0.773279829, median=-0.0678199662,
+                       q3=0.610162354, upperbound=2.7816056467,
+                       lowerbound=-2.8271230549, outliers=1),
+    "Variable_3": dict(mean=3.6610246582, std=2.6826183943, min=0.0189946653,
+                       max=14.5695842802, q1=1.7913899685, median=2.9051041444,
+                       q3=4.6617991592, upperbound=11.7088798411,
+                       lowerbound=-4.3868305247, outliers=2),
+}
+
+
+@pytest.mark.parametrize("col", list(NUM_GOLDENS))
+def test_profile_numerical(spark, col):
+    df = _load(spark, "random_numeric.csv").select(F.col(col).cast("double").alias(col))
+    row = profiler.profile_numerical(df, col).first().asDict()
+    g = NUM_GOLDENS[col]
+    assert row["outliers"] == g.pop("outliers")
+    for k, v in g.items():
+        assert row[k] == pytest.approx(v, abs=1e-6), k
+
+
+def test_outlier_rows(spark):
+    df = _load(spark, "random_numeric.csv").select(
+        "Patient_id", F.col("Variable_3").cast("double").alias("v")
+    )
+    rows = profiler.outlier_rows(df, "v", "Patient_id").orderBy("v").collect()
+    # golden outliersrows: rows 49 and 93 with values 14.5695842802 / 14.049638643
+    assert [round(r["v"], 6) for r in rows] == [14.049639, 14.569584]
+
+
+# test_integer.py:99-115 goldens
+INT_GOLDENS = {
+    "Variable_1": dict(mode=71, freq=9, min=36, max=87, q1=67, median=71, q3=77),
+    "Variable_2": dict(mode=0, freq=86, min=0, max=0, q1=0, median=0, q3=0),
+    "Variable_3": dict(mode=29, freq=13, min=9, max=30, q1=23, median=26, q3=29),
+}
+
+
+@pytest.mark.parametrize("col", list(INT_GOLDENS))
+def test_profile_integer(spark, col):
+    df = (
+        _load(spark, "integer.csv")
+        .select(F.col(col).cast("long").alias(col))
+        .where(F.col(col).isNotNull())
+    )
+    row = profiler.profile_integer(df, col).first().asDict()
+    assert row == INT_GOLDENS[col]
+
+
+# test_nominal.py:16-25 goldens
+def test_profile_nominal(spark):
+    df = _load(spark, "nominal.csv")
+    row = profiler.profile_nominal(df.where(F.col("Variable_1") != ""), "Variable_1").first()
+    assert (row["top"], row["freq"]) == ("NL", 37)
+    assert row["categories"] == "AD,MCI,NL"
+    assert row["categories_num"] == 3
+    row = profiler.profile_nominal(df.where(F.col("Variable_2") != ""), "Variable_2").first()
+    assert (row["top"], row["freq"]) == ("2", 53)
+    assert row["categories"] == "1,2"
+
+
+# test_date.py:50-58 goldens
+def test_profile_date(spark):
+    df = _load(spark, "dates.csv")
+    d1 = df.select(F.try_to_date("Variable_1", "yyyy-M-d").alias("d")).where(F.col("d").isNotNull())
+    row = profiler.profile_date(d1, "d").first()
+    assert (row["mode"], row["freq"]) == (datetime.date(2001, 5, 31), 6)
+    assert (row["min"], row["max"]) == (datetime.date(2001, 5, 31), datetime.date(2001, 6, 26))
+    d2 = df.select(F.try_to_date("Variable_2", "d/M/yyyy").alias("d")).where(F.col("d").isNotNull())
+    row = profiler.profile_date(d2, "d").first()
+    assert (row["mode"], row["freq"]) == (datetime.date(2011, 6, 16), 2)
+    assert (row["min"], row["max"]) == (datetime.date(1936, 6, 4), datetime.date(2019, 5, 31))
+
+
+# test_text.py goldens (tie-breaks pinned to value order reproduce them exactly)
+def test_profile_text(spark):
+    df = _load(spark, "text.csv")
+    row = profiler.profile_text(df, "Variable_1").first()
+    assert (row["top"], row["freq"], row["unique"]) == ("Germany", 17, 13)
+    assert row["top5"] == "Germany,Italy,Netherlands,Denmark,Belgium"
+    assert row["bottom5"] == "Austria,Albania,Ireland,Turkey,Spain"
+
+
+def test_group_mode(spark):
+    df = spark.createDataFrame(
+        [("s1", "T1"), ("s1", "T1"), ("s1", "T2"), ("s2", "T2"), ("s2", "FLAIR"), ("s2", "T2")],
+        "seq STRING, protocol STRING",
+    )
+    rows = {r["seq"]: (r["consensus"], r["freq"]) for r in profiler.group_mode(df, ["seq"], "protocol").collect()}
+    assert rows == {"s1": ("T1", 2), "s2": ("T2", 2)}
+
+
+def test_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "a"), (1, "b")], "sid INT, vid STRING"
+    )
+    dups = duplicate_keys(df, ["sid", "vid"]).collect()
+    assert [(r["sid"], r["vid"], r["n_dups"]) for r in dups] == [(1, "a", 2)]
+    flagged = flag_duplicates(df, ["sid", "vid"]).where("is_duplicate").count()
+    assert flagged == 2  # keep=False semantics: both members flagged
+
+
+def test_row_histograms(spark):
+    flags = spark.createDataFrame([(4,), (4,), (2,), (0,)], "n_valid INT")
+    hist = {r["n_valid"]: r["n_rows"] for r in profiler.rows_per_valid_count(flags).collect()}
+    assert hist == {4: 2, 2: 1, 0: 1}
+    buckets = {
+        r["bucket"]: r["n_rows"]
+        for r in profiler.quantile_bucket_stats(flags, "n_valid", total_cols=4).collect()
+    }
+    assert buckets == {"100%": 2, "50-74%": 1, "0-24%": 1}
