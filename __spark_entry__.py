@@ -21,7 +21,13 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from dataqualitycontroltool_spark.operators import duplicates, profiler  # noqa: E402
+from dataqualitycontroltool_spark.operators import (  # noqa: E402
+    dedup,
+    duplicates,
+    profiler,
+    similarity,
+    textstats,
+)
 from dataqualitycontroltool_spark.plans.compiler import ValidationPlan  # noqa: E402
 from dataqualitycontroltool_spark.sources.tables import load_table  # noqa: E402
 from dataqualitycontroltool_spark.specs import TableSpec  # noqa: E402
@@ -138,6 +144,81 @@ def q_outlier_rows_extendedprice(spark, sf_dir):
     return profiler.outlier_rows(li, "l_extendedprice", "line_id")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = list(range(8))
+
+
+def q_dedup_exact_props(spark, sf_dir):
+    """Exact content dedup (hash-groupBy on md5 fingerprint) over events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.exact_duplicate_groups(ev, "event_id", "props")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 3-gram token Jaccard >= 0.8 via shingle equi-join."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(12)+LSH(4x3) candidates, exact-Jaccard verified >= 0.8."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+def q_text_simhash(spark, sf_dir):
+    """60-bit SimHash per document — pure Catalyst lambda expression."""
+    return dedup.simhash_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash pairs hamming<=3 via banded equi-join (exact by pigeonhole)."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.45 (brute-force oracle path)."""
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors 0..7 (broadcast queries)."""
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS, k=5
+    )
+
+
+def q_ann_topk_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed top-5 (8-bit bucket key) — the 10^12-row scale path."""
+    return similarity.bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS, k=5
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Per-doc quality metrics + Gopher/C4-style keep flag (pure map stage)."""
+    return textstats.text_quality(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_lang_marker(spark, sf_dir):
+    """Deterministic function-word language ID per document."""
+    return textstats.lang_marker_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_fingerprints(spark, sf_dir):
+    """Content md5 + min-shingle (1-perm MinHash) fingerprint per document."""
+    return textstats.fingerprint_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation summary of the documents table at sf0.001."""
     return q_validation_summary_documents(spark, "/root/testdata/sf0.001")
@@ -157,6 +238,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longitudinal_dup_orders": q_longitudinal_dup_orders,
         "group_mode_event_type": q_group_mode_event_type,
         "outlier_rows_extendedprice": q_outlier_rows_extendedprice,
+        "dedup_exact_props": q_dedup_exact_props,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_simhash": q_text_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        "ann_topk_bucketed": q_ann_topk_bucketed,
+        "text_quality": q_text_quality,
+        "text_lang_marker": q_text_lang_marker,
+        "text_fingerprints": q_text_fingerprints,
     }
 
 
@@ -197,6 +289,80 @@ _NCHARS_STATUS = """
 _SOURCE_STATUS = """
     CASE WHEN source IS NULL OR source = '' THEN 'missing' ELSE 'valid' END
 """
+
+
+# --- shared oracle fragments for dedup / similarity / text analysis -------
+
+# distinct 3-token shingles per document (1-based list indexing in DuckDB)
+_SH_CTE = r"""
+tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tok WHERE len(toks) >= 3
+)
+"""
+
+_JACCARD_TAIL = """
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT id_a, id_b, count(*) AS c
+  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+            JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+FROM common JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
+"""
+
+_MINHASH_COLS = ",\n         ".join(
+    f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(12)
+)
+_BAND_ROWS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{b*3} || '|' || mh{b*3+1} || '|' || mh{b*3+2}) AS bkey FROM mh"
+    for b in range(4)
+)
+
+# 60-bit SimHash per doc, computed token-occurrence-weighted in pure SQL
+_SIMHASH_CTE = r"""
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tk) AS m FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         sum((((strpos('0123456789abcdef', substr(m, j // 4 + 1, 1)) - 1)
+               >> (j % 4)) & 1) * 2 - 1) AS s
+  FROM h CROSS JOIN generate_series(0, 59) t(j)
+  GROUP BY 1, 2
+),
+sh2 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY 1
+)
+"""
+
+# embeddings cast to double + norms, for cosine math identical to Spark's
+_EMB_CTE = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+_STOPW = "['a','an','the','of','and','in','to','is','it','on']"
+_MARKERS = {
+    "en": "['the','a','of','and','is']",
+    "es": "['el','la','los','de','que']",
+    "de": "['der','die','das','und','nicht']",
+    "fr": "['le','la','les','et','est']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -319,5 +485,153 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat(l_orderkey, '-', l_linenumber) AS line_id, l_extendedprice
             FROM lineitem, b
             WHERE l_extendedprice >= b.hi OR l_extendedprice <= b.lo
+        """,
+        "dedup_exact_props": r"""
+            SELECT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g')) AS fingerprint,
+                   count(*) AS n_rows, min(event_id) AS survivor_id
+            FROM events GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SH_CTE},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            {_JACCARD_TAIL}
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SH_CTE},
+            mh AS (
+              SELECT doc_id, {_MINHASH_COLS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_ROWS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            {_JACCARD_TAIL}
+        """,
+        "text_simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM sh2
+        """,
+        "dedup_simhash_pairs": f"""
+            -- brute-force hamming <= 3; the Spark banded join is exact for
+            -- max_hamming <= bands-1 (pigeonhole), so results must be equal
+            WITH {_SIMHASH_CTE}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH {_EMB_CTE}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+        """,
+        "ann_topk_bruteforce": f"""
+            WITH {_EMB_CTE},
+            q AS (SELECT * FROM n WHERE vec_id < 8),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+              FROM q JOIN n c ON c.vec_id <> q.vec_id
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM scored)
+            SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        "ann_topk_bucketed": f"""
+            WITH {_EMB_CTE},
+            b AS (
+              SELECT vec_id, v, nrm,
+                     {' + '.join(f"(CASE WHEN v[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)"
+                                 for i in range(8))} AS bucket
+              FROM n
+            ),
+            q AS (SELECT * FROM b WHERE vec_id < 8),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+              FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM scored)
+            SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        "text_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                       AS n_tokens_bpe,
+                     round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                           * 1.0 / len(toks), 6) AS mean_token_len,
+                     round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / length(text), 6) AS alpha_ratio,
+                     round(len([x for x in toks if list_contains({_STOPW}, x)])
+                           * 1.0 / len(toks), 6) AS stopword_ratio
+              FROM t
+            )
+            SELECT *,
+                   (n_tokens BETWEEN 30 AND 1000)
+                   AND (mean_token_len BETWEEN 2.5 AND 8.0)
+                   AND (alpha_ratio >= 0.6) AS keep
+            FROM m
+        """,
+        "text_lang_marker": rf"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     len([x for x in toks if list_contains({_MARKERS['en']}, x)]) AS s_en,
+                     len([x for x in toks if list_contains({_MARKERS['es']}, x)]) AS s_es,
+                     len([x for x in toks if list_contains({_MARKERS['de']}, x)]) AS s_de,
+                     len([x for x in toks if list_contains({_MARKERS['fr']}, x)]) AS s_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred,
+                   greatest(s_en, s_es, s_de, s_fr) AS score
+            FROM s
+        """,
+        "text_fingerprints": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_fp,
+                   list_aggregate(
+                     list_transform(
+                       list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                       x -> md5(x)),
+                     'min') AS min_shingle_fp
+            FROM t
         """,
     }

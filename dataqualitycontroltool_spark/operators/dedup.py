@@ -1,0 +1,370 @@
+"""Document deduplication — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — as declarative Spark plans.
+
+The reference's only duplicate detection is key-equality
+(``controller/tableprofiler.py:173-182`` unique/PK cache,
+``controller/tablereport.py:372-384`` longitudinal ``pd.duplicated``).  A
+training-data pipeline at 10^12 rows needs *content* dedup; this module adds
+the standard family, each designed around Spark's shuffle model:
+
+* **exact** — one hash-aggregate on a content fingerprint (map-side partial
+  combine; the fingerprint is computed scan-side so only 16 bytes shuffle,
+  never the payload).
+* **MinHash + LSH** — per-row signature (no shuffle), band keys, candidate
+  generation via a self-equi-join on (band, key) — the join keys are md5
+  digests, so they are uniformly distributed and skew-free by construction —
+  then exact-Jaccard verification only on the candidate set.
+* **SimHash** — per-row 60-bit fingerprint computed entirely inside Catalyst
+  lambda expressions (no UDF, no shuffle); near-dup pairs via banded
+  equi-join.  With ``bands`` bands of width ``w``, any pair with hamming
+  distance < ``bands`` is *guaranteed* caught (pigeonhole), so for
+  ``max_hamming <= bands - 1`` the banded plan is exact, not approximate.
+* **n-gram Jaccard** — exact all-pairs similarity through a shingle
+  equi-join (the classic "small-common-shingles" plan); a frequency cap on
+  shingles bounds the quadratic blow-up of stop-shingles at scale.
+* **embedding cosine** — brute-force pair scan for the oracle path;
+  ``similarity.py`` holds the bucketed/ANN scale path.
+
+Determinism contract (everything must replay identically on Spark and the
+DuckDB oracle): all hashes are md5 over explicit utf-8 strings — never
+``xxhash64``/``hash``, which are engine-specific.  MinHash "permutations" are
+md5 with a salt prefix, compared as *strings* (uniform, total order).  Floats
+are rounded to 6 decimals before thresholding/ranking.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# tokenization / shingling (shared with textstats)
+# --------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lower-cased, trimmed text (array<string>)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-token shingles (space-joined).  Empty array when the doc
+    has fewer than k tokens — guarded because ``sequence(0, n)`` runs
+    *descending* for negative n instead of returning empty."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
+    return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document.  ``array_distinct`` runs
+    per row *before* the explode so duplicate shingles never hit the shuffle."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 of whitespace-normalized, lower-cased content."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Groups of rows with byte-identical (normalized) content: fingerprint,
+    group size, and the survivor (smallest id — deterministic keep policy).
+
+    One shuffle, on the 32-hex fingerprint (uniform, skew-free); partial
+    aggregation means each map task emits at most one row per distinct
+    fingerprint.  Scale: at 10^12 rows this is the cheapest possible dedup —
+    16 bytes + id per distinct doc across the wire."""
+    fp = content_fingerprint(F.col(content_col))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min(id_col).alias("survivor_id"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _minhash_col(salt: int) -> Column:
+    """One MinHash 'permutation': min over shingles of md5('<salt>|'+shingle),
+    compared lexicographically (md5 hex is uniform, so string-min is a valid
+    minwise hash)."""
+    return F.min(F.md5(F.concat(F.lit(f"{salt}|"), F.col("shingle")))).alias(f"mh{salt}")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: (id, mh0..mh{H-1}).
+
+    Plan: shingle explode → ONE hash-aggregate computing all H minima at once
+    (partial map-side, so the shuffle carries H×32 bytes per doc, not per
+    shingle).  Docs with < k tokens have no shingles and are absent, matching
+    the oracle's GROUP BY."""
+    sh = shingle_table(df, id_col, text_col, k)
+    return sh.groupBy(id_col).agg(*[_minhash_col(s) for s in range(num_hashes)])
+
+
+def _band_key(band: int, rows_per_band: int) -> Column:
+    cols = [F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+    return F.md5(F.concat_ws("|", *cols))
+
+
+def lsh_bands(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature frame into (id, band, band_key) rows."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band_key(b, rows_per_band).alias("band_key"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    Jaccard: (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Pipeline: signature (1 shuffle) → band explode → self-join on
+    (band, band_key) → DISTINCT candidate pairs → exact verification joining
+    the shingle table twice, restricted to candidates (broadcast — the
+    candidate set is tiny relative to the corpus).  With H=12, b=4, r=3 the
+    collision probability at j=0.8 is 1-(1-0.8^3)^4 ≈ 0.93 per pair and the
+    final Jaccard filter removes false positives, so precision is exact and
+    recall is the LSH guarantee.  All join keys are md5 strings → uniform →
+    no skew; a pathological band (e.g. every doc sharing one popular band
+    key) is impossible because the key includes all r minima."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    bl = lsh_bands(sig, id_col, bands, rows_per_band)
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = shingle_table(df, id_col, text_col, k)
+    return _verified_jaccard(sh, id_col, F.broadcast(cand), threshold)
+
+
+def _verified_jaccard(
+    sh: DataFrame, id_col: str, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs from a shingle table."""
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("sa")
+        .join(cand, F.col(f"sa.{id_col}") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col(f"sb.{id_col}") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(cnt.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(cnt.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
+
+    Plan: shingle equi-join — pairs are generated only for docs that *share*
+    a shingle, so the complexity is Σ_s df(s)², not n².  At web scale,
+    ``max_shingle_freq`` drops shingles occurring in more than that many docs
+    (stop-shingles contribute pairs quadratically but almost no Jaccard
+    evidence); leave ``None`` for exact parity with the oracle."""
+    sh = shingle_table(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"sa.{id_col}").alias("id_a"), F.col(f"sb.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(cnt.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(cnt.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars × 4 bits — stays positive in a signed int64
+
+
+def _token_bit_vector(md5_col: Column) -> Column:
+    """±1 contribution vector (length SIMHASH_BITS) of one token's md5.
+    Bit j lives in hex char j//4, position j%4."""
+    out = []
+    for j in range(SIMHASH_BITS):
+        hv = F.conv(F.substring(md5_col, j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(hv, j % 4).bitwiseAND(F.lit(1))
+        out.append(bit * 2 - 1)
+    return F.array(*out)
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash of whitespace tokens, weighted by occurrence count —
+    a pure per-row Catalyst expression (aggregate/zip_with lambdas): zero
+    shuffle, zero Python.  Embarrassingly parallel at any scale."""
+    mds = F.transform(tokens(text), lambda x: F.md5(x))
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    sums = F.aggregate(
+        mds, zeros, lambda acc, x: F.zip_with(acc, _token_bit_vector(x), lambda a, b: a + b)
+    )
+    return reduce(
+        add,
+        [
+            F.when(sums[j] > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+            for j in range(SIMHASH_BITS)
+        ],
+    ).alias("simhash")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming:
+    (id_a, id_b, hamming).
+
+    Banded equi-join: the 60-bit fingerprint splits into ``bands`` disjoint
+    bit-ranges; a pair with <= bands-1 differing bits must agree exactly on
+    at least one band (pigeonhole), so for max_hamming <= bands-1 this plan
+    is EXACT while joining on narrow integer keys instead of an O(n²) scan."""
+    if max_hamming > bands - 1:
+        raise ValueError("banded simhash join is only exact for max_hamming <= bands-1")
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sh = simhash_table(df, id_col, text_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bl = sh.select(id_col, "simhash", F.explode(entries).alias("e")).select(
+        id_col, "simhash", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
+    a, b = bl.alias("a"), bl.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def _norm_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v:double[], norm) — cast once, norm once, before any join."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(F.col(id_col), v.alias("v")).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold: (id_a, id_b, cos).
+
+    Brute-force O(n²) pair scan — the *exactness oracle*.  At 10^12 rows use
+    ``similarity.bucketed_topk``-style sign-LSH bucketing to prefilter, then
+    verify with this same cosine expression; here norms are precomputed
+    per-side so the join evaluates only the dot product."""
+    e = _norm_frame(df, id_col, vec_col)
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

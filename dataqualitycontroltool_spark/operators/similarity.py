@@ -1,0 +1,127 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``array<float>``) — brute-force cosine top-k as the exactness baseline, a
+sign-LSH bucketed variant as the scale path.
+
+The reference has no vector search; its closest analogue is the CDE
+nearest-neighbor match (``model/qcfrictionless/cde.py:43-69``: rank every
+candidate by a similarity score, take the best) — the same
+score-rank-window shape, lifted to dense vectors.
+
+Design for 10^12 rows:
+* the query side is always the SMALL side → ``F.broadcast`` it; the corpus
+  is never shuffled for brute force (map-side broadcast-nested-loop, then a
+  per-query top-k via window over (corpus-partition-local) candidates —
+  Spark's TakeOrderedAndProject keeps only k rows per partition in flight).
+* the bucketed variant replaces the cross join with an equi-join on a
+  sign-bit bucket key: corpus is hash-partitioned by bucket, each query
+  probes exactly one bucket (or its multi-probe neighbors), turning O(n·q)
+  into O(n·q / 2^bits) with recall traded for bits.
+* all ranking is on ``round(cos, 6)`` with id ascending as tie-break, so
+  results replay identically on any engine (DuckDB oracle included).
+
+Math is double-precision end-to-end (float32 inputs are cast once before
+any join) inside Catalyst lambda expressions — no UDF, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from dataqualitycontroltool_spark.operators.dedup import dot
+
+
+def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(F.col(id_col), v.alias("v")).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for each query id, the k nearest OTHER vectors.
+    Output (query_id, neighbor_id, cos, rank), rank 1..k.
+
+    The query set is broadcast (it is by definition small); the corpus scan
+    stays pipelined — no shuffle until the final per-query window, which
+    carries only the candidate rows."""
+    e = _prepared(df, id_col, vec_col)
+    q = e.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket: sign bits of the first ``n_bits`` dimensions,
+    packed into an int.  (Random-hyperplane LSH with axis-aligned planes —
+    deterministic and engine-portable; at production scale swap in seeded
+    dense hyperplanes broadcast to executors, same plan shape.)"""
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def bucketed_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 5,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket.  Output (query_id, neighbor_id, cos, rank) — the recall/latency
+    trade is 2^n_bits× fewer comparisons; the equi-join on the bucket key
+    hash-partitions the corpus so each bucket is one co-located task
+    (md5-free integer key, uniform for zero-centered embeddings)."""
+    e = _prepared(df, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+    q = e.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.col("bucket"),
+    )
+    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qb")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

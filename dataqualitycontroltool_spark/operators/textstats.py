@@ -1,0 +1,145 @@
+"""Text analysis for training-data pipelines — token counting, quality
+scoring, marker-based language ID, document fingerprinting — all pure
+Catalyst column expressions (zero shuffle, zero Python, whole-stage codegen).
+
+Reference lineage: these are the text-column analogues of the per-column
+profilers (``model/qctypes/text.py:62-78``) and the heuristic rule engine the
+graft re-expresses (``controller/columnreport.py:264-278`` keep/drop
+bucketing) — per-row derived metrics plus a boolean keep decision, exactly
+the C4/Gopher-style quality-filter shape.
+
+Everything here is a deterministic function of the text value, so every
+output is DuckDB-oracle-checkable; the trigram langid pandas-UDF
+(``graft/langid.py``) remains the model-based scale path for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dataqualitycontroltool_spark.operators.dedup import content_fingerprint, shingles, tokens
+
+# BPE-ish word/number/symbol split — conservative regex that parses
+# identically under Java regex (Spark) and RE2-flavored engines (DuckDB).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+STOPWORDS = ("a", "an", "the", "of", "and", "in", "to", "is", "it", "on")
+
+# function-word markers per language; scores are hit-counts of whole tokens
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "de", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank."""
+    t = tokens(text)
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(t))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: runs of letters / digits / other symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), F.lit(0)))
+
+
+def _count_in(t: Column, words: tuple[str, ...]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(t, lambda x: F.array_contains(lst, x)))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Per-document quality signals (all double/int, 6-decimal rounded):
+    n_chars, n_tokens, n_tokens_bpe, mean_token_len, alpha_ratio,
+    stopword_ratio."""
+    t = tokens(text)
+    n = F.size(t)
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": token_count_ws(text),
+        "n_tokens_bpe": token_count_bpe(text),
+        "mean_token_len": F.round(total_len / n, 6),
+        "alpha_ratio": F.round(alpha / F.length(text), 6),
+        "stopword_ratio": F.round(_count_in(t, STOPWORDS) / n, 6),
+    }
+
+
+def quality_keep(
+    text: Column,
+    min_tokens: int = 30,
+    max_tokens: int = 1000,
+    min_mean_len: float = 2.5,
+    max_mean_len: float = 8.0,
+    min_alpha: float = 0.6,
+) -> Column:
+    """Gopher/C4-style keep decision from the quality signals."""
+    m = quality_metrics(text)
+    return (
+        m["n_tokens"].between(min_tokens, max_tokens)
+        & m["mean_token_len"].between(min_mean_len, max_mean_len)
+        & (m["alpha_ratio"] >= min_alpha)
+    )
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality table: (id, n_chars, n_tokens, n_tokens_bpe,
+    mean_token_len, alpha_ratio, stopword_ratio, keep) — a single projection,
+    no shuffle; at 10^12 rows this is a pure map stage over the scan."""
+    c = F.col(text_col)
+    m = quality_metrics(c)
+    return df.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in m.items()],
+        quality_keep(c).alias("keep"),
+    )
+
+
+def lang_marker_id(text: Column) -> Column:
+    """Deterministic function-word language ID: hit-count per language's
+    marker list, argmax with ties broken by language code ascending; zero
+    hits → 'und'.  (A heuristic stand-in for fastText, chosen because it is
+    exactly replayable in SQL; the trigram pandas-UDF in graft/langid.py is
+    the model path.)  Compiles to the same CASE chain as the oracle:
+    lang L wins iff score_L > 0 and score_L >= score of every later lang."""
+    t = tokens(text)
+    scores = {lang: _count_in(t, words) for lang, words in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for later in langs:
+            if later > lang:
+                cond = cond & (scores[lang] >= scores[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_marker_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_pred, score) — per-doc marker language ID with its score."""
+    t = tokens(F.col(text_col))
+    scores = {lang: _count_in(t, words) for lang, words in LANG_MARKERS.items()}
+    return df.select(
+        F.col(id_col),
+        lang_marker_id(F.col(text_col)).alias("lang_pred"),
+        F.greatest(*scores.values()).alias("score"),
+    )
+
+
+def fingerprint_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Document fingerprints: (id, content_fp, min_shingle_fp).
+
+    ``content_fp`` is the exact-dedup key (md5 of normalized text);
+    ``min_shingle_fp`` is a winnowing-style 1-perm MinHash (min md5 over
+    k-token shingles) — a cheap near-dup prefilter key.  Pure map stage."""
+    c = F.col(text_col)
+    sh = shingles(c, k)
+    min_fp = F.array_min(F.transform(sh, lambda x: F.md5(x)))
+    return df.select(
+        F.col(id_col),
+        content_fingerprint(c).alias("content_fp"),
+        min_fp.alias("min_shingle_fp"),
+    )

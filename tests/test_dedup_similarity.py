@@ -1,0 +1,116 @@
+"""Unit tests for dedup + similarity operators: edge cases the sf-data
+parity harness can't exercise (short docs, exact-dup groups, LSH recall
+guarantee, simhash pigeonhole exactness, bucket membership)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "THE  Quick   Brown fox jumps over the lazy dog"),  # exact after norm
+        (5, "tiny doc"),                                        # < 3 tokens
+        (6, ""),                                                # empty
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("x y z",)], ["t"])
+    out = df.select(F.size(dedup.shingles(F.col("t"))).alias("n")).collect()
+    assert [r.n for r in out] == [0, 0, 1]
+
+
+def test_exact_duplicate_groups(docs):
+    out = dedup.exact_duplicate_groups(docs, "id", "text").collect()
+    assert len(out) == 1
+    assert out[0].n_rows == 2 and out[0].survivor_id == 1  # ids 1 and 4
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(docs, "id", "text", threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical after norm
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_minhash_lsh_identical_docs_always_collide(docs):
+    # identical shingle sets → identical signatures → all bands collide
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_pairs(docs, "id", "text", threshold=0.99).collect()}
+    assert pairs == {(1, 4)}
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, "id", "text", num_hashes=12)
+    assert sig.columns == ["id"] + [f"mh{i}" for i in range(12)]
+    rows = {r.id for r in sig.collect()}
+    assert rows == {1, 2, 3, 4}  # docs 5 and 6 have no shingles
+
+
+def test_simhash_deterministic_and_normalized(docs):
+    sh = {r.id: r.simhash for r in dedup.simhash_table(docs, "id", "text").collect()}
+    assert sh[1] == sh[4]  # whitespace/case-normalized identical
+    assert 0 <= sh[1] < (1 << dedup.SIMHASH_BITS)
+    # near-dup differs in few bits, unrelated doc in many
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_simhash_banded_join_exact(docs):
+    # banded plan must equal brute force for max_hamming <= bands-1
+    sh = {r.id: r.simhash for r in dedup.simhash_table(docs, "id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    banded = {(r.id_a, r.id_b) for r in
+              dedup.simhash_pairs(docs, "id", "text", max_hamming=3).collect()}
+    assert banded == brute
+
+
+def test_simhash_banded_rejects_unsafe_hamming(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, "id", "text", max_hamming=10, bands=4)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),    # close to 0
+        (2, [-1.0, 0.0, 0.0]),   # opposite
+        (3, [0.0, 1.0, 0.0]),    # orthogonal
+        (4, [1.0, 0.05, 0.0]),   # closest to 0
+    ]
+    return spark.createDataFrame(rows, ["vid", "v"]).select(
+        "vid", F.col("v").cast("array<float>").alias("v")
+    )
+
+
+def test_brute_force_topk_order(vecs):
+    out = similarity.brute_force_topk(vecs, "vid", "v", [0], k=3).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(4, 1), (1, 2), (3, 3)]
+    assert out[0].cos > out[1].cos > out[2].cos
+
+
+def test_bucketed_topk_same_bucket_only(vecs):
+    # sign bucket on 3 dims: vec 2 (negative x) lands in a different bucket
+    out = similarity.bucketed_topk(vecs, "vid", "v", [0], k=5, n_bits=3)
+    neighbors = {r.neighbor_id for r in out.collect()}
+    assert 2 not in neighbors
+    assert {1, 4} <= neighbors
+
+
+def test_embedding_cosine_pairs_threshold(vecs):
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.embedding_cosine_pairs(vecs, "vid", "v", threshold=0.99).collect()}
+    assert (0, 4) in pairs and (0, 2) not in pairs

@@ -1,0 +1,74 @@
+"""Unit tests for text-analysis operators: token counting, quality metrics,
+marker language ID tie-breaks, fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat and the dog sat in the house on a mat"),
+        (2, "el perro de la casa que ladra los lunes"),
+        (3, "xyz qrs tuv"),                       # no markers anywhere
+        (4, "le chat est la"),                    # fr vs es tie on 'la' broken by fr's others
+        (5, "a1b2 c3!d4"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a1b2 c3!d4",), ("one two  three",), ("",)], ["t"])
+    out = df.select(
+        textstats.token_count_ws(F.col("t")).alias("ws"),
+        textstats.token_count_bpe(F.col("t")).alias("bpe"),
+    ).collect()
+    # 'a1b2 c3!d4' → ws 2; bpe: a,1,b,2,c,3,!,d,4 → 9
+    assert [(r.ws, r.bpe) for r in out] == [(2, 9), (3, 3), (0, 0)]
+
+
+def test_quality_metrics_values(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], ["id", "text"])
+    r = textstats.text_quality(df, "id", "text").collect()[0]
+    assert r.n_chars == 8 and r.n_tokens == 3
+    assert r.mean_token_len == 2.0
+    assert r.alpha_ratio == 0.75
+    assert r.stopword_ratio == 0.0
+    assert not r.keep  # too few tokens
+
+
+def test_quality_keep_thresholds(spark):
+    good = " ".join(["word"] * 50)
+    df = spark.createDataFrame([(1, good), (2, "short doc only")], ["id", "text"])
+    out = {r.id: r.keep for r in textstats.text_quality(df, "id", "text").collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_lang_marker_id(docs):
+    out = {r.id: r.lang_pred for r in
+           textstats.lang_marker_table(docs, "id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+    assert out[4] == "fr"   # 'le','est' beat es' single 'la'
+
+
+def test_lang_marker_tie_alphabetical(spark):
+    # 'la' is a marker for both es and fr → tie → alphabetically first (es)
+    df = spark.createDataFrame([(1, "la la")], ["id", "text"])
+    r = textstats.lang_marker_table(df, "id", "text").collect()[0]
+    assert r.lang_pred == "es" and r.score == 2
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "The  quick brown fox"), (2, "the quick brown fox"), (3, "a b")],
+        ["id", "text"],
+    )
+    out = {r.id: r for r in textstats.fingerprint_table(df, "id", "text").collect()}
+    assert out[1].content_fp == out[2].content_fp       # normalization
+    assert out[1].min_shingle_fp == out[2].min_shingle_fp
+    assert out[3].min_shingle_fp is None                # < 3 tokens
+    assert out[3].content_fp is not None
