@@ -184,8 +184,9 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= 0.45 (brute-force oracle path)."""
-    return dedup.embedding_cosine_pairs(
+    """Embedding near-dup pairs: cosine >= 0.45 via blocked numpy matmul
+    (same results as the pure-Catalyst dedup.embedding_cosine_pairs)."""
+    return similarity.cosine_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
     )
 

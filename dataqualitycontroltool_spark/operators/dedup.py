@@ -49,14 +49,32 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``value`` ONCE per row
+    and reference it as a lambda variable inside ``body``.
+
+    Without this, Catalyst's CollapseProject inlines a subexpression into
+    every reference site; inside higher-order-function lambdas that means
+    e.g. a regex ``split`` re-runs for every ``element_at`` — turning an
+    O(tokens) shingle build into O(tokens × shingles) (measured 10× slowdown
+    at 5k docs).  ``transform`` over a 1-element array is the standard
+    let-trick: the argument array is evaluated once, the lambda binds it."""
+    return F.transform(F.array(value), body)[0]
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Array of k-token shingles (space-joined).  Empty array when the doc
     has fewer than k tokens — guarded because ``sequence(0, n)`` runs
     *descending* for negative n instead of returning empty."""
-    t = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]))
-    return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - k)
+        sh = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)])
+        )
+        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(text), build)
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -254,41 +272,72 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 60  # 15 md5 hex chars × 4 bits — stays positive in a signed int64
 
 
-def _token_bit_vector(md5_col: Column) -> Column:
-    """±1 contribution vector (length SIMHASH_BITS) of one token's md5.
-    Bit j lives in hex char j//4, position j%4."""
-    out = []
-    for j in range(SIMHASH_BITS):
-        hv = F.conv(F.substring(md5_col, j // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(hv, j % 4).bitwiseAND(F.lit(1))
-        out.append(bit * 2 - 1)
-    return F.array(*out)
+def _token_bit_vector(token: Column, token_hash: str) -> Column:
+    """±1 contribution vector (length SIMHASH_BITS) of one token.
+
+    ``md5``: bit j = bit (j%4) of hex char j//4 of md5(token) — exactly
+    replayable in any SQL engine (the oracle recomputes it char by char; here
+    the 15-hex-char prefix is converted ONCE to a long and bits come from
+    shifts: bit j of char i maps to bit 4*(14-i)+(j%4) of the big-endian
+    value).  ``xxhash64``: bits straight off Spark's native 64-bit hash —
+    ~5× cheaper, for production corpora where cross-engine replay of the
+    fingerprint itself is not required (pair results are still exact for the
+    given hash)."""
+
+    def frombig(big: Column) -> Column:
+        out = []
+        for j in range(SIMHASH_BITS):
+            pos = 4 * (14 - j // 4) + (j % 4) if token_hash == "md5" else j
+            out.append((F.shiftright(big, pos).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"))
+        return F.array(*out)
+
+    if token_hash == "md5":
+        return let(F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long"), frombig)
+    return let(F.xxhash64(token), frombig)
 
 
-def simhash(text: Column) -> Column:
+def simhash(text: Column, token_hash: str = "md5") -> Column:
     """60-bit SimHash of whitespace tokens, weighted by occurrence count —
     a pure per-row Catalyst expression (aggregate/zip_with lambdas): zero
-    shuffle, zero Python.  Embarrassingly parallel at any scale."""
-    mds = F.transform(tokens(text), lambda x: F.md5(x))
+    shuffle, zero Python.  Embarrassingly parallel at any scale.
+
+    Every expensive subexpression is let-bound ([[let]]): without that,
+    ``sums[j]`` would inline the whole aggregate subtree once per bit and
+    the expression blows up 60× (measured 10× slower + multi-second Janino
+    compiles)."""
+    mds = tokens(text)
     zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
     sums = F.aggregate(
-        mds, zeros, lambda acc, x: F.zip_with(acc, _token_bit_vector(x), lambda a, b: a + b)
+        mds,
+        zeros,
+        lambda acc, x: F.zip_with(acc, _token_bit_vector(x, token_hash), lambda a, b: a + b),
     )
-    return reduce(
-        add,
-        [
-            F.when(sums[j] > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-            for j in range(SIMHASH_BITS)
-        ],
-    ).alias("simhash")
+
+    def assemble(s: Column) -> Column:
+        return reduce(
+            add,
+            [
+                F.when(s[j] > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+                for j in range(SIMHASH_BITS)
+            ],
+        )
+
+    return let(sums, assemble).alias("simhash")
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "md5"
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col), token_hash).alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    token_hash: str = "md5",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming:
     (id_a, id_b, hamming).
@@ -296,12 +345,18 @@ def simhash_pairs(
     Banded equi-join: the 60-bit fingerprint splits into ``bands`` disjoint
     bit-ranges; a pair with <= bands-1 differing bits must agree exactly on
     at least one band (pigeonhole), so for max_hamming <= bands-1 this plan
-    is EXACT while joining on narrow integer keys instead of an O(n²) scan."""
+    is EXACT while joining on narrow integer keys instead of an O(n²) scan.
+
+    The fingerprint table is persisted before the self-join: both join
+    branches and the hamming projection reference ``simhash``, and without a
+    materialization barrier Catalyst re-inlines the (expensive) fingerprint
+    expression into every reference site.  The persisted table is tiny —
+    (id, long) per doc."""
     if max_hamming > bands - 1:
         raise ValueError("banded simhash join is only exact for max_hamming <= bands-1")
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sh = simhash_table(df, id_col, text_col)
+    sh = simhash_table(df, id_col, text_col, token_hash).persist()
     entries = F.array(
         *[
             F.struct(
@@ -351,20 +406,33 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine similarity >= threshold: (id_a, id_b, cos).
 
     Brute-force O(n²) pair scan — the *exactness oracle*.  At 10^12 rows use
     ``similarity.bucketed_topk``-style sign-LSH bucketing to prefilter, then
-    verify with this same cosine expression; here norms are precomputed
-    per-side so the join evaluates only the dot product."""
+    verify with this same cosine expression.
+
+    Plan shape: the b-side is broadcast and the a-side explicitly
+    repartitioned to ``n_partitions`` (default: the cluster's
+    defaultParallelism) — a `<` join is a nested-loop join, and with a
+    single-file parquet input the stream side would otherwise be ONE
+    partition doing all n²/2 dot products serially.  Norms are precomputed
+    per side so the join evaluates only the dot product."""
     e = _norm_frame(df, id_col, vec_col)
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    ).repartition(n_parts)
     b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
