@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence: run the SAME graft pipeline job on the SAME
+input at two parallelism levels (local[4] = N, local[16] = 4N — the sandbox
+proxy for N vs 4N executors; no real cluster is available here) and report
+images/sec at both plus the scaling efficiency thr(4N) / (4 · thr(N)).
+
+Why 4/16 and not 8/32: a pandas-UDF task keeps ~3 threads busy (task
+thread consuming results, Arrow writer thread feeding input, Python worker
+computing), so local[32] would demand ~96 threads from this 32-core box and
+measure oversubscription, not scaling.  4/16 keeps BOTH levels un-contended
+(~12 vs ~48 peak threads), which is exactly how two separately-sized
+executor fleets behave on a real cluster — neither steals the other's cores.
+
+Each level runs in its own subprocess (fresh JVM, no shared JIT/caches);
+the input parquet is generated once (deterministic, seed 42) and the OS page
+cache is warmed before timing in BOTH runs, so the comparison isolates
+compute scaling.  The pipeline output is fully written to parquet — a count()
+would let Catalyst prune the UDF columns and skip the decode/langid work.
+
+Usage: python bench_scaling.py [--rows N]   (default 96000)
+Writes the measured table to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from datetime import date
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+DATA = os.environ.get("SPARK_GRAFT_IMG_DIR", "/tmp/dqc_scaling_images")
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "__REPO__")
+from pyspark.sql import functions as F
+from dataqualitycontroltool_spark.session import get_spark
+from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
+
+cpus, path, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+# task.cpus=2: a pandas-UDF task runs its JVM half (Arrow writer thread)
+# and its Python worker CONCURRENTLY, so true CPU demand is ~2 per task.
+# Without this, local[8] borrows the machine's idle cores for its Python
+# workers while local[32] oversubscribes 2x - the comparison would measure
+# oversubscription, not scaling.  On a real cluster this is the standard
+# sizing for UDF-heavy stages.  ParallelGC: batch-throughput collector;
+# G1's humongous-allocation handling thrashes on 39KB binary rows.
+spark = get_spark("dqc-scaling", cpus=cpus, extra_conf={
+    "spark.task.cpus": "2",
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+})
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(path)
+n = df.count()  # warm page cache + parquet footers
+
+# Warm-up: run the full pipeline on a ~5% hash-sample that touches every
+# input split, so the Python UDF worker fleet (one process per task slot,
+# spawned lazily and mostly serially on first use) and the Janino codegen
+# cache exist before the timed section.  On a long-lived cluster these are
+# one-time costs amortized to zero; including them would measure process
+# spawn, not pipeline scaling (measured: first UDF stage uses 2-5 cores,
+# every later one uses all of them).
+warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+run_pipeline(warm).write.mode("overwrite").parquet(out + "_warm")
+
+t0 = time.perf_counter()
+run_pipeline(df).write.mode("overwrite").parquet(out)
+wall = time.perf_counter() - t0
+print(json.dumps({"cpus": cpus, "rows": n, "wall_s": round(wall, 2),
+                  "images_per_sec": round(n / wall, 2)}))
+"""
+
+
+def generate(rows: int) -> None:
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from dataqualitycontroltool_spark.session import get_spark\n"
+        "from dataqualitycontroltool_spark.graft.synth import write_images\n"
+        "spark = get_spark('dqc-gen', cpus=32)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"write_images(spark, {DATA!r}, {rows}, n_partitions=64, w_range=(64, 192))\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   stderr=subprocess.DEVNULL)
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cpus), DATA,
+         f"/tmp/dqc_scaling_out_{cpus}"],
+        check=True, capture_output=True, text=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=96000)
+    args = ap.parse_args()
+
+    marker = Path(DATA) / f"_ROWS_{args.rows}_64-192"
+    if not marker.exists():
+        generate(args.rows)
+        marker.touch()
+
+    r8 = run_level(4)
+    r32 = run_level(16)
+    eff = r32["images_per_sec"] / (4 * r8["images_per_sec"])
+    result = {
+        "metric": "graft_pipeline_scaling",
+        "rows": args.rows,
+        "n": r8,
+        "4n": r32,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    bench_dir = Path(REPO) / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — measured scaling (north rule)
+
+Measured {date.today().isoformat()} on this sandbox (single machine, 32 cores,
+local-mode Spark).  The north rule's "N vs 4N executors" criterion cannot use
+a real cluster here, so the evidence is the same job at two parallelism
+levels on identical input (see `bench_scaling.py`; input = deterministic
+synthetic image+caption table, seed 42, {args.rows} rows, generated by
+`graft/synth.py`).  The timed job is the full quality-filter pipeline
+(`graft/pipeline.py`): duplicate-group broadcast join, langid + perplexity +
+decode pandas UDFs, scrub, keep/drop rules, parquet sink.  Both levels run
+with `spark.task.cpus=2` (a pandas-UDF task uses a JVM thread AND a Python
+worker concurrently; without it local[8] silently borrows the idle cores for
+its Python workers and the comparison measures oversubscription, not
+scaling) and ParallelGC (G1's humongous-allocation path thrashes on ~39KB
+binary rows).  Levels are local[4] vs local[16] (N vs 4N cores): a
+pandas-UDF task keeps ~3 threads busy (task thread, Arrow writer thread,
+Python worker), so both levels must fit the 32-core box un-contended —
+exactly how two separately-sized executor fleets behave on a real cluster.  Timing excludes one-time costs a long-lived cluster
+amortizes: a 5%-sample warm-up spawns the Python worker fleet (~30s for 32
+workers, mostly serial) and fills the codegen cache.
+
+| level | cores | wall (s) | images/sec |
+|---|---|---|---|
+| N  (`local[4]`)  | 4  | {r8['wall_s']} | {r8['images_per_sec']} |
+| 4N (`local[16]`) | 16 | {r32['wall_s']} | {r32['images_per_sec']} |
+
+**Scaling efficiency thr(4N) / (4·thr(N)) = {round(eff, 3)}**
+(target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Why it scales: the `bytes` column never enters a shuffle — the dedup index
+is reduced map-side (partial hash-aggregate over (phash, image_id) only) and
+its duplicate-groups slice is BROADCAST back, so the data path is scan →
+broadcast join → project(UDFs) → sink: a pure map job over uniform 16MB
+input splits.  The deliberately skewed phash cluster 0 costs nothing here
+because no stage partitions by phash; for corpora whose duplicate-group
+index exceeds broadcast size, `run_pipeline(n_partitions=...)` switches to
+the shuffle join + salted repartition (`pmod(xxhash64(image_id), n)`) layout
+and the same efficiency argument applies per salt bucket.
+
+Headline-query timings per round are recorded by the driver from `bench.py`
+(`BENCH_r{{N}}.json`); correctness vs DuckDB oracles in `CORRECTNESS_r{{N}}.json`.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,16 @@ def salt_repartition(df: DataFrame, n: int, key: str = "image_id") -> DataFrame:
 
 
 def dedup_index(df: DataFrame, key: str = "phash") -> DataFrame:
-    """(key, keeper_id): the row to keep per exact-duplicate group.
+    """(key, keeper_id, n_members): the row to keep per exact-duplicate group
+    plus the group size (so consumers can restrict to real duplicate groups).
 
-    Partial-aggregating ``min`` is skew-immune (map-side combine); the
-    reference's analogue is the unique/PK duplicate cache
+    Partial-aggregating ``min``/``count`` is skew-immune (map-side combine);
+    the reference's analogue is the unique/PK duplicate cache
     (`/root/reference/mipqctool/controller/tableprofiler.py:173-182`).
     """
-    return df.groupBy(key).agg(F.min("image_id").alias("keeper_id"))
+    return df.groupBy(key).agg(
+        F.min("image_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_members")
+    )
 
 
 def run_pipeline(
@@ -74,19 +77,32 @@ def run_pipeline(
     """
     cfg = cfg or KeepDropConfig()
 
-    # duplicate flag: join against the (skew-immune) dedup index
+    # Duplicate flag: BROADCAST-join the duplicate-groups-only slice of the
+    # dedup index (n_members > 1; singleton groups can never flag a dup).
+    # This keeps the `bytes` column out of every shuffle — the pipeline's
+    # data path is then scan → broadcast join → project(UDFs) → sink, i.e. a
+    # pure map job over input splits, which is what makes N→4N scaling
+    # near-linear.  When the duplicate-group index is too big to broadcast
+    # (pathological corpora), pass ``n_partitions`` to fall back to a salted
+    # shuffle layout; the join then hash-partitions by phash and the salt
+    # re-spreads the hot clusters before the UDF stage.
     if cfg.dedupe_on:
         idx = dedup if dedup is not None else dedup_index(df, cfg.dedupe_on)
-        df = df.join(idx, on=cfg.dedupe_on, how="left").withColumn(
-            "is_dup", F.col("image_id") != F.col("keeper_id")
+        dup_groups = idx.where(F.col("n_members") > 1).select(cfg.dedupe_on, "keeper_id")
+        if not n_partitions:
+            dup_groups = F.broadcast(dup_groups)
+        df = df.join(dup_groups, on=cfg.dedupe_on, how="left").withColumn(
+            "is_dup",
+            F.col("keeper_id").isNotNull() & (F.col("image_id") != F.col("keeper_id")),
         ).drop("keeper_id")
     else:
         df = df.withColumn("is_dup", F.lit(False))
 
-    # salt AFTER the phash join: the join's output is hash-distributed by
-    # phash, i.e. every hot near-dup cluster sits in one task — exactly the
-    # wrong layout for the expensive decode/langid UDF stage that follows.
-    # (Salting before the join would be erased by the join's own exchange.)
+    # Salt AFTER the phash join (only in shuffle-join mode): the join's
+    # output is hash-distributed by phash, i.e. every hot near-dup cluster
+    # sits in one task — exactly the wrong layout for the expensive
+    # decode/langid UDF stage that follows.  (Salting before the join would
+    # be erased by the join's own exchange.)
     if n_partitions:
         df = salt_repartition(df, n_partitions)
 

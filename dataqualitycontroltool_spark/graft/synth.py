@@ -112,8 +112,12 @@ def _base_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return img.clip(0, 255).astype(np.uint8)
 
 
-def generate_pdf(part: int, n_rows: int, seed: int = 42) -> pd.DataFrame:
-    """One partition of the table as pandas — pure function of (part, n, seed)."""
+def generate_pdf(
+    part: int, n_rows: int, seed: int = 42, w_range: tuple[int, int] = W_RANGE
+) -> pd.DataFrame:
+    """One partition of the table as pandas — pure function of (part, n, seed).
+    ``w_range`` sets generated image dimensions (multiples of 8): bench uses
+    larger images so per-row decode work dominates fixed costs."""
     rng = np.random.default_rng(seed * 1_000_003 + part)
     # per-partition near-dup cluster bases (cluster 0 shared-shape: same seed)
     base_rng = np.random.default_rng(seed)
@@ -133,8 +137,8 @@ def generate_pdf(part: int, n_rows: int, seed: int = 42) -> pd.DataFrame:
             img = cluster_bases[cidx].astype(np.int32)
             img = (img + rng.integers(-2, 3, img.shape)).clip(0, 255).astype(np.uint8)
         else:
-            w0 = int(rng.integers(W_RANGE[0] // 8, W_RANGE[1] // 8 + 1)) * 8
-            h0 = int(rng.integers(W_RANGE[0] // 8, W_RANGE[1] // 8 + 1)) * 8
+            w0 = int(rng.integers(w_range[0] // 8, w_range[1] // 8 + 1)) * 8
+            h0 = int(rng.integers(w_range[0] // 8, w_range[1] // 8 + 1)) * 8
             img = _base_image(rng, w0, h0)
         h0, w0 = img.shape[:2]
 
@@ -181,6 +185,7 @@ def generate_images(
     n_rows: int,
     n_partitions: int = DEFAULT_PARTITIONS,
     seed: int = 42,
+    w_range: tuple[int, int] = W_RANGE,
 ) -> DataFrame:
     """Distributed generation: the driver ships only (part, count, seed) rows;
     executors synthesize pixels/captions via mapInPandas (Arrow-batched)."""
@@ -195,7 +200,7 @@ def generate_images(
     def gen(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                yield generate_pdf(int(row["part"]), int(row["n"]), int(row["seed"]))
+                yield generate_pdf(int(row["part"]), int(row["n"]), int(row["seed"]), w_range)
 
     return seeds.mapInPandas(gen, SCHEMA)
 
@@ -206,11 +211,12 @@ def write_images(
     n_rows: int,
     n_partitions: int = DEFAULT_PARTITIONS,
     seed: int = 42,
+    w_range: tuple[int, int] = W_RANGE,
 ) -> None:
     """Materialize the synthetic table partitioned by `part` (the Iceberg
     partition layout stand-in that checkpoint/resume iterates)."""
     (
-        generate_images(spark, n_rows, n_partitions, seed)
+        generate_images(spark, n_rows, n_partitions, seed, w_range)
         .write.mode("overwrite")
         .partitionBy("part")
         .parquet(path)

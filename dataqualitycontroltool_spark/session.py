@@ -41,8 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # parquet scans: default 128MB splits are fine at scale; local test data
-        # is small so AQE coalescing handles the tiny-partition case.
+        # parquet input splits: the default 128MB maxPartitionBytes coalesces a
+        # ~500MB binary-column table into ~4 splits, capping the scan stage at
+        # 4-way parallelism no matter how many cores the session has (measured:
+        # decode stage identical wall time at local[8] and local[32]).  16MB
+        # keeps small-to-mid inputs wide; at true 100TB scale there are millions
+        # of splits either way and this knob only affects task granularity.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
