@@ -220,6 +220,125 @@ def q_text_fingerprints(spark, sf_dir):
     return textstats.fingerprint_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# ---------------------------------------------------------------------------
+# remaining SURVEY §2 families: A3 date profile, A9 buckets, A12 cascade,
+# C1 date suggestion, J6/J7 Levenshtein match, P9 scrub, I-family inference
+# ---------------------------------------------------------------------------
+
+def q_profile_date_orderdate(spark, sf_dir):
+    """A3 date profile (date.py:70-85) on orders.o_orderdate (cast to date)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od")
+    )
+    return profiler.profile_date(o, "od")
+
+
+def q_quantile_buckets_documents(spark, sf_dir):
+    """A9 (tablereport.py:387-440): rows bucketed by % of valid columns."""
+    out = _documents_validated(spark, sf_dir)
+    flags = ValidationPlan(DOCUMENTS_SPEC).row_flags(out)
+    return profiler.quantile_bucket_stats(flags, "n_valid", total_cols=3)
+
+
+def q_sessions_per_user_distribution(spark, sf_dir):
+    """A12 (dicomreport.py:277-299): two-level groupBy cascade — events →
+    active days per user → users bucketed s1/s2/s3-s5/s6+."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days")
+    )
+    bucket = (
+        F.when(F.col("n_days") == 1, "s1")
+        .when(F.col("n_days") == 2, "s2")
+        .when(F.col("n_days") <= 5, "s3-s5")
+        .otherwise("s6+")
+    )
+    return days.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def q_date_suggestion_events(spark, sf_dir):
+    """C1 (date.py:88-106): re-infer + re-parse dates serialized in three
+    different formats, emit the ISO suggestion.  Exercises the strptime→Java
+    DateTimeFormatter translation both ways (SURVEY §7 risk 5)."""
+    from dataqualitycontroltool_spark.datefmt import strptime_to_java
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    fmts = ["%d/%m/%Y", "%Y-%m-%d", "%m-%d-%Y"]
+    # parse side: the strptime→Java translation (lenient, like strptime's 0?-
+    # padding tolerance); format side: explicit zero-padded patterns (strftime
+    # zero-pads — the translated single-letter patterns are parse-only)
+    jparse = [strptime_to_java(f) for f in fmts]
+    jfmt = ["dd/MM/yyyy", "yyyy-MM-dd", "MM-dd-yyyy"]
+    raw = (
+        F.when(F.pmod("event_id", F.lit(3)) == 0,
+               F.date_format(F.col("ts").cast("date"), jfmt[0]))
+        .when(F.pmod("event_id", F.lit(3)) == 1,
+              F.date_format(F.col("ts").cast("date"), jfmt[1]))
+        .otherwise(F.date_format(F.col("ts").cast("date"), jfmt[2]))
+    )
+    reparsed = F.coalesce(*[F.expr(f"try_to_date(raw, '{j}')") for j in jparse])
+    return (
+        ev.select("event_id", raw.alias("raw"))
+        .select("event_id", "raw",
+                F.date_format(reparsed, "yyyy-MM-dd").alias("suggested"))
+    )
+
+
+def q_nearest_label_match(spark, sf_dir):
+    """J6/J7 (cde.py:43-69, 188-290): rank a small candidate dimension by
+    edit distance per source label — broadcast cross join + window top-1,
+    ties by (distance, candidate) ascending."""
+    from pyspark.sql import Window
+
+    labels = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("label")
+    ).distinct()
+    cands = load_table(spark, sf_dir, "part").select(
+        F.col("p_type").alias("candidate")
+    ).distinct()
+    d = F.levenshtein(F.upper("label"), F.upper("candidate"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("distance").asc(), F.col("candidate").asc()
+    )
+    return (
+        labels.join(F.broadcast(cands))
+        .select("label", "candidate", d.alias("distance"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("label", "candidate", "distance")
+    )
+
+
+def q_scrub_documents(spark, sf_dir):
+    """P9/C-family: ordered regex PII/toxicity scrub chain over text."""
+    from dataqualitycontroltool_spark.graft import scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        scrub.scrub_column(F.col("text")).alias("scrubbed"),
+        scrub.scrub_flags(F.col("text")).alias("n_hits"),
+    )
+
+
+def q_infer_schema_documents(spark, sf_dir):
+    """I1-I9 (qcschema.py:64-145): sampled guesser + resolver vote on the
+    documents table, emitted as (field, miptype, ftype) rows.  The vote is
+    driver-side by design (bounded sample, reference default 100 rows) —
+    no SQL oracle; the driver records the rows-only check."""
+    from dataqualitycontroltool_spark.inference import infer_table_spec
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+        F.col("source"),
+    )
+    spec = infer_table_spec(docs, limit=100)
+    rows = [(f.name, f.miptype, f.ftype) for f in spec.fields]
+    return spark.createDataFrame(rows, "field string, miptype string, ftype string")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation summary of the documents table at sf0.001."""
     return q_validation_summary_documents(spark, "/root/testdata/sf0.001")
@@ -250,6 +369,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_marker": q_text_lang_marker,
         "text_fingerprints": q_text_fingerprints,
+        "profile_date_orderdate": q_profile_date_orderdate,
+        "quantile_buckets_documents": q_quantile_buckets_documents,
+        "sessions_per_user_distribution": q_sessions_per_user_distribution,
+        "date_suggestion_events": q_date_suggestion_events,
+        "nearest_label_match": q_nearest_label_match,
+        "scrub_documents": q_scrub_documents,
+        "infer_schema_documents": q_infer_schema_documents,
     }
 
 
@@ -356,6 +482,24 @@ e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 """
+
+def _scrub_sql_expr(col: str) -> str:
+    from dataqualitycontroltool_spark.graft.scrub import scrub_sql
+
+    return scrub_sql(col)
+
+
+def _scrub_hits_sql(col: str) -> str:
+    """DuckDB twin of scrub.scrub_flags: count of rules matching the ORIGINAL
+    text (not the progressively scrubbed one), nulls → 0."""
+    from dataqualitycontroltool_spark.graft.scrub import SCRUB_RULES
+
+    terms = [
+        f"coalesce(CAST(regexp_matches({col}, '{pat.replace(chr(39), chr(39) * 2)}') AS INT), 0)"
+        for _n, pat, _r in SCRUB_RULES
+    ]
+    return "(" + " + ".join(terms) + ")"
+
 
 _STOPW = "['a','an','the','of','and','in','to','is','it','on']"
 _MARKERS = {
@@ -618,6 +762,85 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_pred,
                    greatest(s_en, s_es, s_de, s_fr) AS score
             FROM s
+        """,
+        "profile_date_orderdate": """
+            WITH m AS (
+              SELECT CAST(o_orderdate AS DATE) AS mode, count(*) AS freq FROM orders
+              WHERE o_orderdate IS NOT NULL
+              GROUP BY 1 ORDER BY freq DESC, mode ASC LIMIT 1
+            )
+            SELECT m.mode, m.freq,
+                   (SELECT min(CAST(o_orderdate AS DATE)) FROM orders) AS min,
+                   (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) AS max
+            FROM m
+        """,
+        "quantile_buckets_documents": f"""
+            WITH st AS (
+              SELECT {_LANG_STATUS} AS lang_st, {_NCHARS_STATUS} AS nchars_st,
+                     {_SOURCE_STATUS} AS source_st
+              FROM documents
+            ), nv AS (
+              SELECT (CASE WHEN lang_st = 'valid' THEN 1 ELSE 0 END
+                      + CASE WHEN nchars_st = 'valid' THEN 1 ELSE 0 END
+                      + CASE WHEN source_st = 'valid' THEN 1 ELSE 0 END) AS n_valid
+              FROM st
+            )
+            SELECT CASE
+                     WHEN n_valid * 100.0 / 3 >= 100 THEN '100%'
+                     WHEN n_valid * 100.0 / 3 >= 75 THEN '75-99%'
+                     WHEN n_valid * 100.0 / 3 >= 50 THEN '50-74%'
+                     WHEN n_valid * 100.0 / 3 >= 25 THEN '25-49%'
+                     ELSE '0-24%'
+                   END AS bucket, count(*) AS n_rows
+            FROM nv GROUP BY 1
+        """,
+        "sessions_per_user_distribution": """
+            WITH d AS (
+              SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS n_days
+              FROM events GROUP BY 1
+            )
+            SELECT CASE WHEN n_days = 1 THEN 's1'
+                        WHEN n_days = 2 THEN 's2'
+                        WHEN n_days <= 5 THEN 's3-s5'
+                        ELSE 's6+' END AS bucket,
+                   count(*) AS n_users
+            FROM d GROUP BY 1
+        """,
+        "date_suggestion_events": """
+            WITH e AS (SELECT event_id, ts FROM events WHERE event_id < 2000),
+            r AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 3 = 0
+                            THEN strftime(CAST(ts AS DATE), '%d/%m/%Y')
+                          WHEN event_id % 3 = 1
+                            THEN strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                          ELSE strftime(CAST(ts AS DATE), '%m-%d-%Y') END AS raw
+              FROM e
+            )
+            SELECT event_id, raw,
+                   strftime(coalesce(try_strptime(raw, '%d/%m/%Y'),
+                                     try_strptime(raw, '%Y-%m-%d'),
+                                     try_strptime(raw, '%m-%d-%Y')),
+                            '%Y-%m-%d') AS suggested
+            FROM r
+        """,
+        "nearest_label_match": """
+            WITH l AS (SELECT DISTINCT o_orderpriority AS label FROM orders),
+            c AS (SELECT DISTINCT p_type AS candidate FROM part),
+            x AS (
+              SELECT label, candidate,
+                     levenshtein(upper(label), upper(candidate)) AS distance,
+                     row_number() OVER (PARTITION BY label
+                         ORDER BY levenshtein(upper(label), upper(candidate)) ASC,
+                                  candidate ASC) AS rk
+              FROM l CROSS JOIN c
+            )
+            SELECT label, candidate, distance FROM x WHERE rk = 1
+        """,
+        "scrub_documents": f"""
+            SELECT doc_id, {_scrub_sql_expr("text")} AS scrubbed,
+                   {_scrub_hits_sql("text")} AS n_hits
+            FROM documents
         """,
         "text_fingerprints": r"""
             WITH t AS (
