@@ -1,0 +1,8 @@
+"""Structured Streaming surface of the engine."""
+
+from dataqualitycontroltool_spark.streaming.validate import (  # noqa: F401
+    stream_quality_filter,
+    validated_stream,
+    windowed_field_summary,
+    write_validated,
+)
