@@ -339,6 +339,25 @@ def q_infer_schema_documents(spark, sf_dir):
     return spark.createDataFrame(rows, "field string, miptype string, ftype string")
 
 
+def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal path: synthesize a deterministic image batch (seed 42),
+    decode + extract block-mean embeddings + ANN top-3 over them — exercises
+    binary columns, pandas-UDF decode, and the similarity operator end to
+    end.  No SQL oracle (image codec path); driver records rows-only."""
+    from dataqualitycontroltool_spark.graft.synth import generate_images
+    from dataqualitycontroltool_spark.operators import multimodal as mm
+
+    imgs = generate_images(spark, 200, n_partitions=4)
+    emb = imgs.select(
+        "image_id", mm.image_features(F.col("bytes"), F.col("fmt"), grid=4).alias("embedding")
+    ).where(F.col("embedding").isNotNull())
+    emb = emb.withColumn(
+        "vid", F.xxhash64("image_id")
+    )
+    qids = [r.vid for r in emb.orderBy("image_id").limit(5).collect()]
+    return similarity.brute_force_topk(emb, "vid", "embedding", qids, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation summary of the documents table at sf0.001."""
     return q_validation_summary_documents(spark, "/root/testdata/sf0.001")
@@ -376,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_label_match": q_nearest_label_match,
         "scrub_documents": q_scrub_documents,
         "infer_schema_documents": q_infer_schema_documents,
+        "multimodal_image_features": q_multimodal_image_features,
     }
 
 

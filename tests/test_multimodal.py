@@ -1,0 +1,82 @@
+"""Multimodal operator tests: real plumbing (schemas, batch shapes, fan-out)
+for image resize/features, WAV audio stats, and QVID frame sampling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.graft import codecs
+from dataqualitycontroltool_spark.operators import multimodal as mm
+
+
+def _img(seed, w=32, h=24):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        ("a", bytearray(codecs.encode(_img(1), "png")), "png"),
+        ("b", bytearray(codecs.encode(_img(2, 64, 64), "jpeg")), "jpeg"),
+        ("c", bytearray(b"garbage"), "png"),
+    ]
+    return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+
+def test_image_resize_roundtrip(images):
+    out = images.select(
+        "image_id", mm.image_resize(F.col("bytes"), F.col("fmt"), 16, 16).alias("r")
+    ).select("image_id", "r.*")
+    rows = {r.image_id: r for r in out.collect()}
+    assert rows["a"].ok and rows["a"].w == 16 and rows["a"].h == 16
+    img = codecs.decode(bytes(rows["a"].bytes), "png")
+    assert img.shape == (16, 16, 3)
+    assert not rows["c"].ok and rows["c"].bytes is None
+
+
+def test_image_features_shape_and_norm(images):
+    out = {r.image_id: r.emb for r in images.select(
+        "image_id", mm.image_features(F.col("bytes"), F.col("fmt"), grid=4).alias("emb")
+    ).collect()}
+    assert len(out["a"]) == 4 * 4 * 3
+    assert abs(sum(x * x for x in out["a"]) - 1.0) < 1e-5  # L2-normalized
+    assert out["c"] is None
+    # deterministic: same bytes → same embedding
+    assert out["a"] == [float(np.float32(x)) for x in out["a"]]
+
+
+def test_audio_stats(spark):
+    t = np.arange(8000) / 8000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 16000).astype(np.int16)
+    wav = mm.wav_encode_pcm16(tone, 8000)
+    stereo = mm.wav_encode_pcm16(np.stack([tone, tone], axis=1), 16000)
+    df = spark.createDataFrame(
+        [("x", bytearray(wav)), ("y", bytearray(stereo)), ("z", bytearray(b"noise"))],
+        "audio_id string, bytes binary",
+    )
+    out = {r.audio_id: r for r in df.select(
+        "audio_id", mm.audio_stats(F.col("bytes")).alias("s")).select("audio_id", "s.*").collect()}
+    assert out["x"].decode_ok and out["x"].sample_rate == 8000
+    assert out["x"].n_samples == 8000 and abs(out["x"].duration_s - 1.0) < 1e-9
+    assert abs(out["x"].rms - (16000 / 32768) / np.sqrt(2)) < 0.01  # sine RMS = A/√2
+    assert out["y"].n_channels == 2 and out["y"].duration_s == 0.5
+    assert not out["z"].decode_ok
+
+
+def test_video_frame_sampling(spark):
+    frames = [_img(i, 16, 16) for i in range(10)]
+    vid = mm.qvid_encode(frames, fps=5)
+    df = spark.createDataFrame(
+        [("v1", bytearray(vid)), ("bad", bytearray(b"xx"))],
+        "video_id string, bytes binary",
+    )
+    out = mm.sample_frames(df, "video_id", "bytes", every_k=4).collect()
+    got = {(r.video_id, r.frame_idx) for r in out}
+    assert got == {("v1", 0), ("v1", 4), ("v1", 8)}  # every 4th; bad video dropped
+    r0 = [r for r in out if r.frame_idx == 0][0]
+    assert (r0.n_frames, r0.fps, r0.frame_w, r0.frame_h) == (10, 5, 16, 16)
+    dec = codecs.lossy_decode(bytes(r0.frame_bytes), "jpeg")
+    assert dec.shape == (16, 16, 3)
+    # lossy stub round-trip stays within the quantization error bound
+    assert np.abs(dec.astype(int) - frames[0].astype(int)).max() <= codecs.LOSSY_STEP
