@@ -1,0 +1,117 @@
+"""Validation-report sinks — the reference's Excel/PDF report re-expressed
+as metric-table DataFrames written to parquet, plus the corrected-CSV sink.
+
+Reference sheets (`/root/reference/mipqctool/controller/tablereport.py:183-320`
+``printexcel``: General, Row Statistics, Column Statistics, Cleaning
+suggestions; `:151-159` ``save_corrected``): the *metrics* are the contract,
+the spreadsheet rendering is presentation (out of scope per SURVEY §2.1 S7).
+Every table is a small aggregate of the single-pass validated DataFrame —
+compute once (`ValidationPlan.apply`), derive all four tables from it."""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, functions as F
+
+from dataqualitycontroltool_spark.operators import profiler
+from dataqualitycontroltool_spark.plans.compiler import ValidationPlan
+from dataqualitycontroltool_spark.specs import TableSpec
+
+
+def correction_suggestions(validated: DataFrame, spec: TableSpec) -> DataFrame:
+    """'Cleaning suggestions' sheet: per field, each DISTINCT violated raw
+    value with its suggested replacement and occurrence count
+    (tablereport.py:290-320).  GroupBy on (field, value) — the distinct
+    violated-value domain is small even when violations are many."""
+    parts = []
+    for f in spec.fields:
+        name = f.name
+        st, sug = F.col(f"{name}__status"), F.col(f"{name}__suggestion")
+        parts.append(
+            validated.where(st.isin("dtype", "constraint"))
+            .groupBy(
+                F.lit(name).alias("field"),
+                F.col(name).alias("value"),
+                sug.alias("suggestion"),
+                st.alias("violation"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def report_tables(df: DataFrame, spec: TableSpec) -> dict[str, DataFrame]:
+    """The four report tables from ONE validation pass:
+
+    * ``general``        — table-level totals (rows, columns, fields checked)
+    * ``row_stats``      — rows-per-#valid-columns histogram + quantile
+                           bucket bands (A7-A9)
+    * ``column_stats``   — per-field nulls/valid/dtype/constraint/filled%
+    * ``corrections``    — distinct violated values with suggestions
+    """
+    plan = ValidationPlan(spec)
+    validated = plan.apply(df, derive=("status", "suggestion")).cache()
+
+    n_fields = len(spec.fields)
+    general = validated.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.lit(len(df.columns)).alias("total_columns"),
+        F.lit(n_fields).alias("fields_checked"),
+        reduce(
+            add,
+            [
+                F.sum((F.col(f"{f.name}__status") != "valid").cast("long"))
+                for f in spec.fields
+            ],
+        ).alias("total_violations"),
+    )
+
+    flags = plan.row_flags(validated)
+    hist = profiler.rows_per_valid_count(flags).withColumnRenamed("n_rows", "rows")
+    buckets = profiler.quantile_bucket_stats(flags, "n_valid", n_fields)
+    row_stats = (
+        hist.select(F.col("n_valid").cast("string").alias("key"),
+                    F.lit("rows_per_valid_count").alias("kind"), "rows")
+        .unionByName(
+            buckets.select(F.col("bucket").alias("key"),
+                           F.lit("valid_pct_band").alias("kind"),
+                           F.col("n_rows").alias("rows"))
+        )
+    )
+
+    column_stats = plan.summary(validated)
+    corrections = correction_suggestions(validated, spec)
+    return {
+        "general": general,
+        "row_stats": row_stats,
+        "column_stats": column_stats,
+        "corrections": corrections,
+    }
+
+
+def write_report(df: DataFrame, spec: TableSpec, outdir: str) -> None:
+    """Write all four report tables as parquet under ``outdir/<name>/``."""
+    for name, table in report_tables(df, spec).items():
+        table.write.mode("overwrite").parquet(f"{outdir}/{name}")
+
+
+def write_corrected_csv(df: DataFrame, spec: TableSpec, path: str) -> None:
+    """S6 corrected-CSV sink (tablereport.py:151-159): violated values
+    replaced by their suggestions (null when unsalvageable), written as
+    quoted CSV with headers — the distributed sibling of ``save_corrected``."""
+    plan = ValidationPlan(spec)
+    corrected = plan.apply(df, derive=("corrected",))
+    spec_names = {f.name for f in spec.fields}
+    cols = [
+        F.col(f"{c}__corrected").alias(c) if c in spec_names else F.col(c)
+        for c in df.columns
+    ]
+    (
+        corrected.select(*cols)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .csv(path)
+    )

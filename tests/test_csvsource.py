@@ -1,0 +1,78 @@
+"""CSV source tests: dialect sniffing (S1), BOM handling, header
+sanitization (P6), ragged rows, and validation-plan integration."""
+
+import codecs
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.plans.compiler import ValidationPlan
+from dataqualitycontroltool_spark.sources import csvsource
+from dataqualitycontroltool_spark.specs import TableSpec
+
+
+@pytest.fixture()
+def write(tmp_path):
+    def _w(name, content, bom=False):
+        p = tmp_path / name
+        data = content.encode("utf-8")
+        if bom:
+            data = codecs.BOM_UTF8 + data
+        p.write_bytes(data)
+        return str(p)
+    return _w
+
+
+def test_sniff_comma_and_semicolon(write):
+    pc = write("a.csv", "id,name\n1,x\n2,y\n")
+    ps = write("b.csv", "id;name\n1;x\n2;y\n")
+    assert csvsource.sniff_dialect(pc)["delimiter"] == ","
+    assert csvsource.sniff_dialect(ps)["delimiter"] == ";"
+
+
+def test_bom_stripped_from_header(write):
+    p = write("bom.csv", "id,name\n1,x\n", bom=True)
+    d = csvsource.sniff_dialect(p)
+    assert d["encoding"] == "utf-8-sig"
+    assert csvsource.read_headers(p, d) == ["id", "name"]
+
+
+def test_read_csv_sanitizes_headers(spark, write):
+    p = write("dirty.csv", "Patient ID,eye-color(left),id\n1,blue,9\n2,green,8\n")
+    df = csvsource.read_csv(spark, p)
+    assert df.columns == ["Patient_ID", "eye_color_left_", "id"]
+    assert df.count() == 2
+    assert dict(df.dtypes) == {c: "string" for c in df.columns}
+
+
+def test_read_csv_duplicate_headers_suffixed(spark, write):
+    p = write("dup.csv", "a,a,a-b,a b\n1,2,3,4\n")
+    df = csvsource.read_csv(spark, p)
+    # Spark's reader itself suffixes byte-identical duplicates (a -> a0, a1);
+    # our _dedupe handles the collisions sanitization introduces (a-b vs a b)
+    assert df.columns == ["a0", "a1", "a_b", "a_b_1"]
+
+
+def test_ragged_rows_permissive(spark, write):
+    p = write("ragged.csv", "a,b,c\n1,2,3\n4,5\n6,7,8,9\n")
+    df = csvsource.read_csv(spark, p)
+    rows = [tuple(r) for r in df.orderBy("a").collect()]
+    assert rows == [("1", "2", "3"), ("4", "5", None), ("6", "7", "8")]
+
+
+def test_semicolon_csv_through_validation(spark, write):
+    p = write("v.csv", "code;n\nAA;5\nZZ;999\n;\n")
+    df = csvsource.read_csv(spark, p)
+    spec = TableSpec.from_descriptor(
+        {"fields": [
+            {"name": "code", "type": "string", "MIPType": "nominal",
+             "constraints": {"enum": ["AA", "BB"]}},
+            {"name": "n", "type": "integer", "MIPType": "integer",
+             "constraints": {"minimum": 0, "maximum": 100}},
+        ], "missingValues": [""]}
+    )
+    out = ValidationPlan(spec).apply(df, derive=("status",))
+    got = [(r["code__status"], r["n__status"]) for r in
+           out.orderBy(F.col("code").asc_nulls_last()).collect()]
+    assert got == [("valid", "valid"), ("constraint", "constraint"),
+                   ("missing", "missing")]

@@ -1,0 +1,67 @@
+"""Report-sink tests: the four metric tables + corrected-CSV round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.sinks import reports
+from dataqualitycontroltool_spark.sources import csvsource
+from dataqualitycontroltool_spark.specs import TableSpec
+
+SPEC = TableSpec.from_descriptor(
+    {
+        "fields": [
+            {"name": "code", "type": "string", "MIPType": "nominal",
+             "constraints": {"enum": ["AA", "BB"]}},
+            {"name": "n", "type": "integer", "MIPType": "integer",
+             "constraints": {"minimum": 0, "maximum": 100}},
+        ],
+        "missingValues": [""],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [("AA", "5"), ("Ab", "50"), ("ZZ", "999"), ("BB", "x7"), ("", ""),
+            ("AA", "7"), ("ZZ", "999")]
+    return spark.createDataFrame(rows, "code string, n string")
+
+
+def test_report_tables(df):
+    t = reports.report_tables(df, SPEC)
+    g = t["general"].collect()[0]
+    assert g.total_rows == 7 and g.fields_checked == 2
+    # violations: code: Ab,ZZ,'',ZZ = 4; n: 999,x7,'',999 = 4 → 8
+    assert g.total_violations == 8
+
+    rows = {(r.kind, r.key): r.rows for r in t["row_stats"].collect()}
+    assert rows[("rows_per_valid_count", "2")] == 2   # (AA,5), (AA,7)
+    assert rows[("rows_per_valid_count", "1")] == 2   # (Ab,50), (BB,x7)
+    cs = {r.field: r for r in t["column_stats"].collect()}
+    assert cs["code"].nulls == 1 and cs["code"].constraint_violations == 3
+    assert cs["n"].dtype_violations == 1 and cs["n"].constraint_violations == 2
+
+    corr = {(r.field, r.value): (r.suggestion, r.n_occurrences, r.violation)
+            for r in t["corrections"].collect()}
+    # Levenshtein repair: 'Ab' → 'AA' or 'BB'? dist(AB,AA)=1, dist(AB,BB)=1 → tie → AA
+    assert corr[("code", "Ab")][0] == "AA" and corr[("code", "Ab")][1] == 1
+    assert corr[("code", "ZZ")][1] == 2  # deduped with count
+    assert ("n", "999") in corr
+
+
+def test_corrected_csv_roundtrip(spark, df, tmp_path):
+    out = str(tmp_path / "corrected")
+    reports.write_corrected_csv(df, SPEC, out)
+    back = csvsource.read_csv(spark, out + "/*.csv")
+    got = {tuple(r) for r in back.collect()}
+    # 'Ab' repaired to AA; ZZ/999/x7/'' nulled
+    assert ("AA", "5") in got and ("AA", "7") in got
+    assert ("AA", "50") in got          # Ab → AA, n=50 valid
+    assert (None, None) in got          # the all-missing and unsalvageable rows
+    assert not any(v == "ZZ" for v, _ in got)
+
+
+def test_write_report_parquet(spark, df, tmp_path):
+    reports.write_report(df, SPEC, str(tmp_path / "rep"))
+    cs = spark.read.parquet(str(tmp_path / "rep" / "column_stats"))
+    assert {r.field for r in cs.collect()} == {"code", "n"}
