@@ -339,6 +339,34 @@ def q_infer_schema_documents(spark, sf_dir):
     return spark.createDataFrame(rows, "field string, miptype string, ftype string")
 
 
+def q_events_dataset_totals(spark, sf_dir):
+    """A13 (dicomreport.py:277-299, 86-109): dataset-level totals — distinct
+    users, events, type set, span — one aggregate pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+
+
+def q_customer_order_timeline(spark, sf_dir):
+    """J8 (mripatient.py:15): per-group chronologically sorted collection —
+    each customer's order dates as an ordered list (sort_array over
+    collect_list: one hash aggregate, partial map-side, no window shuffle)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"))),
+            ",",
+        ).alias("timeline"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     """Multimodal path: synthesize a deterministic image batch (seed 42),
     decode + extract block-mean embeddings + ANN top-3 over them — exercises
@@ -396,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_documents": q_scrub_documents,
         "infer_schema_documents": q_infer_schema_documents,
         "multimodal_image_features": q_multimodal_image_features,
+        "events_dataset_totals": q_events_dataset_totals,
+        "customer_order_timeline": q_customer_order_timeline,
     }
 
 
@@ -861,6 +891,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_scrub_sql_expr("text")} AS scrubbed,
                    {_scrub_hits_sql("text")} AS n_hits
             FROM documents
+        """,
+        "events_dataset_totals": """
+            SELECT count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_event_types,
+                   (SELECT string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                    FROM events) AS event_types,
+                   min(CAST(ts AS DATE)) AS first_day,
+                   max(CAST(ts AS DATE)) AS last_day
+            FROM events
+        """,
+        "customer_order_timeline": """
+            SELECT o_custkey,
+                   string_agg(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                              ',' ORDER BY strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'))
+                     AS timeline,
+                   count(*) AS n_orders
+            FROM orders WHERE o_custkey < 100
+            GROUP BY o_custkey
         """,
         "text_fingerprints": r"""
             WITH t AS (

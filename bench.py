@@ -50,9 +50,35 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "graft": _graft_throughput(spark, cpus),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }))
+
+
+def _graft_throughput(spark, cpus: int, rows: int = 8000) -> dict:
+    """Images/sec of the full quality-filter pipeline at this session's
+    parallelism (ties BENCH_r{N}.json to BASELINE.md's throughput target;
+    the N-vs-4N scaling evidence lives in bench_scaling.py / BENCH/).
+    Input is generated once per boot and cached on disk; a 25% warm-up pass
+    spawns the Python UDF worker fleet before the timed run."""
+    from pyspark.sql import functions as F
+
+    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
+    from dataqualitycontroltool_spark.graft.synth import write_images
+
+    path = f"/tmp/dqc_bench_images_{rows}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_images(spark, path, rows, n_partitions=32)
+    df = spark.read.parquet(path)
+    n = df.count()
+    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
+    run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_warm")
+    t0 = time.perf_counter()
+    run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_out")
+    wall = time.perf_counter() - t0
+    return {"rows": n, "wall_s": round(wall, 2),
+            "images_per_sec": round(n / wall, 1)}
 
 
 if __name__ == "__main__":
