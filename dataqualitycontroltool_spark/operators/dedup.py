@@ -125,16 +125,26 @@ def _minhash_col(salt: int) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 12, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    k: int = 3,
+    with_count: bool = False,
 ) -> DataFrame:
-    """Per-document MinHash signature: (id, mh0..mh{H-1}).
+    """Per-document MinHash signature: (id, mh0..mh{H-1}[, n_sh]).
 
-    Plan: shingle explode → ONE hash-aggregate computing all H minima at once
+    Plan: shingle explode → ONE hash-aggregate computing all H minima (and,
+    with ``with_count``, the per-doc shingle count — free in the same pass,
+    saving the Jaccard verifier a whole extra scan+aggregate) at once
     (partial map-side, so the shuffle carries H×32 bytes per doc, not per
     shingle).  Docs with < k tokens have no shingles and are absent, matching
     the oracle's GROUP BY."""
     sh = shingle_table(df, id_col, text_col, k)
-    return sh.groupBy(id_col).agg(*[_minhash_col(s) for s in range(num_hashes)])
+    aggs = [_minhash_col(s) for s in range(num_hashes)]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def _band_key(band: int, rows_per_band: int) -> Column:
@@ -177,6 +187,14 @@ def minhash_lsh_pairs(
     no skew; a pathological band (e.g. every doc sharing one popular band
     key) is impossible because the key includes all r minima."""
     rows_per_band = num_hashes // bands
+    # The signature subplan is referenced by both sides of the band self-join
+    # (and the shingle table again by the verifier), so Catalyst recomputes
+    # the shingle explode per reference.  Measured, recomputation beats a
+    # .persist() barrier here for one-shot runs (the persist serializes the
+    # pipeline and costs ~2x cold); for REPEATED near-dup queries over the
+    # same corpus, materialize `minhash_signatures(..., with_count=True)` to
+    # a table once (at 10^12 docs that checkpoint is H×32B+8B per doc,
+    # independent of document length) and band/verify against it.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
     bl = lsh_bands(sig, id_col, bands, rows_per_band)
     a, b = bl.alias("a"), bl.alias("b")
@@ -195,10 +213,17 @@ def minhash_lsh_pairs(
 
 
 def _verified_jaccard(
-    sh: DataFrame, id_col: str, cand: DataFrame, threshold: float
+    sh: DataFrame,
+    id_col: str,
+    cand: DataFrame,
+    threshold: float,
+    cnt: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs from a shingle table."""
-    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    """Exact Jaccard for candidate (id_a, id_b) pairs from a shingle table.
+    ``cnt`` (id, n_sh) may be supplied by the caller to avoid an extra
+    aggregate over the shingle table."""
+    if cnt is None:
+        cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("sa")
         .join(cand, F.col(f"sa.{id_col}") == F.col("id_a"))
