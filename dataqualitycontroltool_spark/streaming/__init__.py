@@ -1,5 +1,9 @@
 """Structured Streaming surface of the engine."""
 
+from dataqualitycontroltool_spark.streaming.sessionize import (  # noqa: F401
+    sessionize_batch,
+    sessionize_stream,
+)
 from dataqualitycontroltool_spark.streaming.validate import (  # noqa: F401
     stream_quality_filter,
     validated_stream,
