@@ -367,6 +367,25 @@ def q_customer_order_timeline(spark, sf_dir):
     )
 
 
+def q_mapping_expr_orders(spark, sf_dir):
+    """§2.7 mapping expression language compiled to Catalyst: three
+    transformation expressions (string/arith/conditional families) applied
+    to orders — Catalyst IS the mapping engine (no MIPMap XML/external
+    process)."""
+    from dataqualitycontroltool_spark.functions import compile_expression
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = o.columns
+    return o.select(
+        "o_orderkey",
+        compile_expression('toupper(substring(o_orderpriority, 2, 5))', cols).alias("prio3"),
+        compile_expression("round(o_totalprice / 1000, 2)", cols).alias("price_k"),
+        compile_expression(
+            'if(contains(o_orderpriority, "URGENT"), "U", tolower(o_orderstatus))', cols
+        ).alias("flag"),
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     """Multimodal path: synthesize a deterministic image batch (seed 42),
     decode + extract block-mean embeddings + ANN top-3 over them — exercises
@@ -426,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "events_dataset_totals": q_events_dataset_totals,
         "customer_order_timeline": q_customer_order_timeline,
+        "mapping_expr_orders": q_mapping_expr_orders,
     }
 
 
@@ -901,6 +921,14 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(ts AS DATE)) AS first_day,
                    max(CAST(ts AS DATE)) AS last_day
             FROM events
+        """,
+        "mapping_expr_orders": """
+            SELECT o_orderkey,
+                   upper(substr(o_orderpriority, 3, 3)) AS prio3,
+                   round(o_totalprice / 1000, 2) AS price_k,
+                   CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 'U'
+                        ELSE lower(o_orderstatus) END AS flag
+            FROM orders
         """,
         "customer_order_timeline": """
             SELECT o_custkey,
