@@ -367,6 +367,19 @@ def q_customer_order_timeline(spark, sf_dir):
     )
 
 
+def q_consensus_cascade_events(spark, sf_dir):
+    """J1/A10-A11 hierarchy cascade: per-(user, day) modal event_type, then
+    per-user consensus OF the daily consensus (the MRI sequence→study→
+    patient rollup shape), with child counts."""
+    from dataqualitycontroltool_spark.operators import hierarchy
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    levels = hierarchy.consensus_cascade(ev, ["user_id", "day"], ["event_type"])
+    return levels[1].select("user_id", "event_type", "n_children")
+
+
 def q_mapping_expr_orders(spark, sf_dir):
     """§2.7 mapping expression language compiled to Catalyst: three
     transformation expressions (string/arith/conditional families) applied
@@ -446,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dataset_totals": q_events_dataset_totals,
         "customer_order_timeline": q_customer_order_timeline,
         "mapping_expr_orders": q_mapping_expr_orders,
+        "consensus_cascade_events": q_consensus_cascade_events,
     }
 
 
@@ -921,6 +935,26 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(ts AS DATE)) AS first_day,
                    max(CAST(ts AS DATE)) AS last_day
             FROM events
+        """,
+        "consensus_cascade_events": """
+            WITH daily AS (
+              SELECT user_id, day, event_type FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                       count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY count(*) DESC, event_type ASC) AS rk
+                FROM events GROUP BY 1, 2, 3
+              ) WHERE rk = 1
+            ),
+            lvl1 AS (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type ASC) AS rk,
+                     sum(count(*)) OVER (PARTITION BY user_id) AS n_children
+              FROM daily GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type, CAST(n_children AS BIGINT) AS n_children
+            FROM lvl1 WHERE rk = 1
         """,
         "mapping_expr_orders": """
             SELECT o_orderkey,

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) over the pure-Python cores — the
+reference's test suite has no property testing (SURVEY §5); these pin the
+invariants the Spark operators rely on."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dataqualitycontroltool_spark import datefmt
+from dataqualitycontroltool_spark.cde import edit_distance, edit_distance_f1
+from dataqualitycontroltool_spark.graft import codecs
+from dataqualitycontroltool_spark.graft.scrub import scrub_text
+from dataqualitycontroltool_spark.operators import multimodal as mm
+
+short_text = st.text(min_size=0, max_size=30)
+
+
+@given(short_text, short_text)
+def test_edit_distance_symmetric_and_bounded(a, b):
+    d = edit_distance(a, b)
+    assert d == edit_distance(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+
+
+@given(short_text, short_text, short_text)
+@settings(max_examples=50)
+def test_edit_distance_triangle(a, b, c):
+    assert edit_distance(a, c) <= edit_distance(a, b) + edit_distance(b, c)
+
+
+@given(st.text(min_size=1, max_size=30), st.text(min_size=1, max_size=30))
+def test_f1_range_and_identity(a, b):
+    f = edit_distance_f1(a, b)
+    assert f <= 1.0
+    if a == b:
+        assert f == 1.0
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1000, max_value=48000),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25)
+def test_wav_roundtrip(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
+    r2, back = mm.parse_wav_pcm16(mm.wav_encode_pcm16(samples, rate))
+    assert r2 == rate
+    assert np.array_equal(back, samples)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25)
+def test_png_roundtrip_exact(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.png_decode(codecs.png_encode(img)), img)
+
+
+@given(
+    st.integers(min_value=8, max_value=48),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from(["jpeg", "webp"]),
+)
+@settings(max_examples=25)
+def test_lossy_roundtrip_bounded_and_psnr(size, seed, fmt):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    back = codecs.lossy_decode(codecs.lossy_encode(img, fmt), fmt)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= codecs.LOSSY_STEP
+    assert codecs.psnr(img, back) >= 40.0  # the BASELINE invariant
+
+
+@given(st.dates(min_value=__import__("datetime").date(1900, 1, 1),
+                max_value=__import__("datetime").date(2099, 12, 31)),
+       st.sampled_from(["%d/%m/%Y", "%Y-%m-%d", "%d-%m-%Y", "%m/%d/%Y"]))
+@settings(max_examples=100)
+def test_date_parse_format_roundtrip(d, fmt):
+    s = d.strftime(fmt)
+    assert datefmt.parse_date(s, fmt) == d
+    inferred = datefmt.infer_date_format(s)
+    if inferred is not None:  # ambiguous d/m vs m/d may infer the other order
+        assert datefmt.parse_date(s, inferred) is not None
+
+
+@given(short_text)
+def test_scrub_idempotent_and_total(s):
+    once = scrub_text(s)
+    assert scrub_text(once) == once  # replacement tokens never re-match
+    assert scrub_text(None) is None
