@@ -1,0 +1,145 @@
+"""Command-line entry points — the reference's ``qctool`` CLI
+(`/root/reference/mipqctool/cli.py`: ``csv``/``infercsv``/``dicom``)
+re-expressed for Spark, runnable three ways:
+
+* locally: ``python -m dataqualitycontroltool_spark <cmd> ...``
+* on a cluster: ``spark-submit --py-files $(python -m
+  dataqualitycontroltool_spark pyfiles) -m`` is not supported by
+  spark-submit, so ship the zip and a tiny driver script::
+
+      ZIP=$(python -m dataqualitycontroltool_spark pyfiles)
+      spark-submit --py-files "$ZIP" path/to/driver.py filter ...
+
+  where driver.py just calls :func:`main`.  When launched under
+  spark-submit, the session factory respects the externally configured
+  master (``get_spark(cpus=None)``).
+
+Commands:
+  validate <data> <schema.json> <outdir>   validation report tables (+ corrected CSV)
+  infer    <data> <out_schema.json>        sampled schema inference
+  filter   <in_parquet> <out_path>         checkpoint-resumable image quality filter
+  pyfiles                                  build the --py-files zip, print its path
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(args):
+    from dataqualitycontroltool_spark.session import get_spark
+
+    return get_spark("dqc-cli", cpus=args.cpus)
+
+
+def _load_data(spark, path: str):
+    from dataqualitycontroltool_spark.sources import csvsource
+
+    if path.endswith(".csv") or path.endswith(".tsv"):
+        return csvsource.read_csv(spark, path)
+    return spark.read.parquet(path)
+
+
+def cmd_validate(args) -> int:
+    from dataqualitycontroltool_spark.sinks import reports
+    from dataqualitycontroltool_spark.specs import TableSpec, frictionless_from_dc
+
+    spark = _get_spark(args)
+    with open(args.schema) as f:
+        desc = json.load(f)
+    if "fields" not in desc:  # Data-Catalogue tree → frictionless (S3)
+        desc = frictionless_from_dc(desc)
+    spec = TableSpec.from_descriptor(desc)
+    df = _load_data(spark, args.data)
+    reports.write_report(df, spec, args.outdir)
+    if args.clean:
+        reports.write_corrected_csv(df, spec, f"{args.outdir}/corrected_csv")
+    print(f"report tables written under {args.outdir}")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from dataqualitycontroltool_spark.inference import infer_table_spec
+
+    spark = _get_spark(args)
+    df = _load_data(spark, args.data)
+    spec = infer_table_spec(df, limit=args.sample_rows, maxlevels=args.max_levels)
+    with open(args.out, "w") as f:
+        json.dump(spec.to_descriptor(), f, indent=2)
+    print(f"inferred schema ({len(spec.fields)} fields) -> {args.out}")
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from dataqualitycontroltool_spark.graft.checkpoint import run_resumable
+
+    spark = _get_spark(args)
+    rows = run_resumable(spark, args.input, args.output,
+                         max_partitions=args.max_partitions)
+    kept = sum(r["kept"] for r in rows)
+    total = sum(r["rows_in"] for r in rows)
+    print(json.dumps({"partitions_processed": len(rows), "rows_in": total,
+                      "kept": kept, "dropped": total - kept}))
+    return 0
+
+
+def cmd_pyfiles(args) -> int:
+    print(build_pyfiles_zip())
+    return 0
+
+
+def build_pyfiles_zip() -> str:
+    """Zip this package for ``spark-submit --py-files`` (the same archive
+    ``session._ship_package`` attaches in local mode)."""
+    import os
+    import shutil
+    import tempfile
+
+    import dataqualitycontroltool_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    return shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="dqc_pyfiles_"), "dqc_spark_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dqc-spark")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[N] cores; omit under spark-submit")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validation report (reference: qctool csv)")
+    v.add_argument("data")
+    v.add_argument("schema")
+    v.add_argument("outdir")
+    v.add_argument("--clean", action="store_true", help="also write corrected CSV")
+    v.set_defaults(fn=cmd_validate)
+
+    i = sub.add_parser("infer", help="schema inference (reference: qctool infercsv)")
+    i.add_argument("data")
+    i.add_argument("out")
+    i.add_argument("--sample-rows", type=int, default=100)
+    i.add_argument("--max-levels", type=int, default=10)
+    i.set_defaults(fn=cmd_infer)
+
+    f = sub.add_parser("filter", help="checkpoint-resumable image quality filter")
+    f.add_argument("input")
+    f.add_argument("output")
+    f.add_argument("--max-partitions", type=int, default=None)
+    f.set_defaults(fn=cmd_filter)
+
+    p = sub.add_parser("pyfiles", help="build the --py-files zip")
+    p.set_defaults(fn=cmd_pyfiles)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

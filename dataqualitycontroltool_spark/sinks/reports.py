@@ -33,8 +33,11 @@ def correction_suggestions(validated: DataFrame, spec: TableSpec) -> DataFrame:
             validated.where(st.isin("dtype", "constraint"))
             .groupBy(
                 F.lit(name).alias("field"),
-                F.col(name).alias("value"),
-                sug.alias("suggestion"),
+                # cast to string BEFORE the union: fields have heterogeneous
+                # types and ANSI union resolution would otherwise coerce a
+                # string field's values into a numeric sibling's type
+                F.col(name).cast("string").alias("value"),
+                sug.cast("string").alias("suggestion"),
                 st.alias("violation"),
             )
             .agg(F.count(F.lit(1)).alias("n_occurrences"))

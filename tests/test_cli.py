@@ -1,0 +1,68 @@
+"""CLI end-to-end tests: validate / infer / filter / pyfiles, driven the way
+a user would run them (python -m … with local data)."""
+
+import json
+import zipfile
+
+import pytest
+
+from dataqualitycontroltool_spark import cli
+
+SCHEMA = {
+    "fields": [
+        {"name": "code", "type": "string", "MIPType": "nominal",
+         "constraints": {"enum": ["AA", "BB"]}},
+        {"name": "n", "type": "integer", "MIPType": "integer",
+         "constraints": {"minimum": 0, "maximum": 100}},
+    ],
+    "missingValues": [""],
+}
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("code,n\nAA,5\nZZ,7\nBB,999\n")
+    return str(p)
+
+
+def test_validate_cmd(spark, csv_path, tmp_path):
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps(SCHEMA))
+    out = tmp_path / "rep"
+    assert cli.main(["--cpus", "4", "validate", csv_path, str(schema),
+                     str(out), "--clean"]) == 0
+    cs = spark.read.parquet(str(out / "column_stats"))
+    assert {r.field for r in cs.collect()} == {"code", "n"}
+    assert (out / "corrected_csv").exists()
+
+
+def test_infer_cmd(spark, csv_path, tmp_path):
+    out = tmp_path / "schema.json"
+    assert cli.main(["--cpus", "4", "infer", csv_path, str(out)]) == 0
+    desc = json.loads(out.read_text())
+    fields = {f["name"]: f for f in desc["fields"]}
+    assert fields["n"]["MIPType"] in ("integer", "nominal")
+
+
+def test_filter_cmd(spark, tmp_path, capsys):
+    from dataqualitycontroltool_spark.graft.synth import write_images
+
+    src = str(tmp_path / "imgs")
+    write_images(spark, src, 200, n_partitions=2)
+    assert cli.main(["--cpus", "4", "filter", src, str(tmp_path / "out")]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["partitions_processed"] == 2
+    assert stats["kept"] + stats["dropped"] == stats["rows_in"] == 200
+    # resume: everything done → nothing reprocessed
+    assert cli.main(["--cpus", "4", "filter", src, str(tmp_path / "out")]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["partitions_processed"] == 0
+
+
+def test_pyfiles_cmd(capsys):
+    assert cli.main(["pyfiles"]) == 0
+    path = capsys.readouterr().out.strip()
+    names = zipfile.ZipFile(path).namelist()
+    assert "dataqualitycontroltool_spark/cli.py" in names
+    assert "dataqualitycontroltool_spark/graft/pipeline.py" in names

@@ -61,6 +61,18 @@ def test_corrected_csv_roundtrip(spark, df, tmp_path):
     assert not any(v == "ZZ" for v, _ in got)
 
 
+def test_corrections_on_typed_input(spark):
+    """Regression: a TYPED (bigint) field unioned with a string field must
+    not coerce string values (ANSI union resolution) — found driving the
+    CLI against parquet input."""
+    df = spark.createDataFrame([("zz", 5), ("AA", 999)], "code string, n long")
+    corr = reports.correction_suggestions(
+        reports.ValidationPlan(SPEC).apply(df, derive=("status", "suggestion")), SPEC
+    )
+    got = {(r.field, r.value) for r in corr.collect()}
+    assert ("code", "zz") in got and ("n", "999") in got
+
+
 def test_write_report_parquet(spark, df, tmp_path):
     reports.write_report(df, SPEC, str(tmp_path / "rep"))
     cs = spark.read.parquet(str(tmp_path / "rep" / "column_stats"))
