@@ -106,3 +106,20 @@ def test_short_circuit_equivalence(spark, input_pdf):
         .toPandas().sort_values("image_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_and_salted_paths_agree(spark):
+    """The broadcast dedup join (default) and the shuffle join + salted
+    repartition fallback (n_partitions set) are alternative physical plans
+    for the SAME logical pipeline — keep/drop/scrub output must be equal."""
+    from dataqualitycontroltool_spark.graft.synth import generate_images
+
+    df = generate_images(spark, 400, n_partitions=4).cache()
+    a = run_pipeline(df, KeepDropConfig())
+    b = run_pipeline(df, KeepDropConfig(), n_partitions=8)
+    ka = {r.image_id: (r.keep, r.drop_reason, r.caption_scrubbed, r.is_dup)
+          for r in a.collect()}
+    kb = {r.image_id: (r.keep, r.drop_reason, r.caption_scrubbed, r.is_dup)
+          for r in b.collect()}
+    assert ka == kb and len(ka) == 400
+    df.unpersist()
