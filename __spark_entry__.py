@@ -205,6 +205,17 @@ def q_ann_topk_bucketed(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (seeded k-means coarse quantizer, nprobe=2) — the
+    centroid-based scale path; rows-only check (float argmax cluster
+    assignment is not robustly SQL-replayable; exactness is pinned by the
+    full-probe==brute-force unit test instead)."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        ANN_QUERY_IDS, k=5, n_centroids=8, nprobe=2,
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Per-doc quality metrics + Gopher/C4-style keep flag (pure map stage)."""
     return textstats.text_quality(load_table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -445,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
         "ann_topk_bucketed": q_ann_topk_bucketed,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_quality": q_text_quality,
         "text_lang_marker": q_text_lang_marker,
         "text_fingerprints": q_text_fingerprints,

@@ -175,6 +175,106 @@ def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> "np.ndarray":
+    """Seeded spherical k-means on a bounded driver-side sample — the IVF
+    coarse quantizer.  The sample is the ``sample`` lowest ids (deterministic,
+    not rand()); at 10^12 rows a bounded sample is exactly how IVF training
+    works in practice (the quantizer sees a few thousand vectors)."""
+    import numpy as np
+
+    q = df.select(vec_col) if id_col is None else df.orderBy(id_col).select(vec_col)
+    rows = q.limit(sample).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    centroid (inverted lists = Spark partitions keyed by cluster); each query
+    probes its ``nprobe`` nearest centroids and ranks only those lists.
+
+    Full probe (nprobe = n_centroids) degenerates to EXACT brute force —
+    the correctness property the tests pin.  Assignment runs in a pandas UDF
+    with the (tiny) centroid matrix in the closure: one argmax matmul per
+    Arrow batch, numpy/BLAS speed, and the corpus join is a plain equi-join
+    on the cluster id (hash-partitioned, no skew for balanced quantizers)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = centroids if centroids is not None else kmeans_centroids(
+        df, vec_col, k=n_centroids, id_col=id_col
+    )
+    Cn = np.asarray(C, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.map(np.asarray).to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True).clip(min=1e-12)
+        return pd.Series((M @ Cn.T).argmax(axis=1).astype(np.int32))
+
+    e = _prepared(df, id_col, vec_col).withColumn("cluster", assign_udf(F.col("v")))
+    qv = {r[0]: np.asarray(r[1], dtype=np.float64)
+          for r in df.where(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()}
+    probe_rows = []
+    for qid, v in qv.items():
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        for c in np.argsort(-(Cn @ vn))[:nprobe]:
+            probe_rows.append((qid, int(c)))
+    probes = df.sparkSession.createDataFrame(probe_rows, f"{id_col} long, cluster int")
+
+    q = e.join(F.broadcast(probes.select(id_col).distinct()), id_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    cand = e.join(
+        F.broadcast(probes.withColumnRenamed(id_col, "query_id")), "cluster"
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def bucketed_topk(
     df: DataFrame,
     id_col: str,

@@ -114,3 +114,33 @@ def test_embedding_cosine_pairs_threshold(vecs):
     pairs = {(r.id_a, r.id_b) for r in
              dedup.embedding_cosine_pairs(vecs, "vid", "v", threshold=0.99).collect()}
     assert (0, 4) in pairs and (0, 2) not in pairs
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    brute = {(r.query_id, r.rank): r.neighbor_id for r in
+             similarity.brute_force_topk(emb, "vec_id", "embedding", qids, k=5).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id for r in
+           similarity.ivf_topk(emb, "vec_id", "embedding", qids, k=5,
+                               n_centroids=8, nprobe=8).collect()}
+    assert ivf == brute  # full probe degenerates to exact
+
+
+def test_ivf_partial_probe_subset(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1]
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", qids, k=5,
+                              n_centroids=8, nprobe=2).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    for r in out:
+        assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
+
+
+def test_kmeans_centroids_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import numpy as np
+    c1 = similarity.kmeans_centroids(emb, "embedding", k=4, id_col="vec_id")
+    c2 = similarity.kmeans_centroids(emb, "embedding", k=4, id_col="vec_id")
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
