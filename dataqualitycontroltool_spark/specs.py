@@ -236,3 +236,56 @@ def frictionless_from_dc(dcjson: dict) -> dict:
     fields: list[dict] = []
     _walk_dc_node(dcjson, "", fields)
     return {"fields": fields, "missingValues": list(DEFAULT_MISSING_VALUES)}
+
+
+# ---------------------------------------------------------------------------
+# P7: enum-value sanity lint (qcschema.py:166-187) — a nominal enum value is
+# flagged when it collides with a SQL reserved word or starts with a digit
+# (either breaks the downstream mapping engine's generated SQL).  The list
+# is the standard ANSI SQL reserved words (public standard vocabulary).
+# ---------------------------------------------------------------------------
+
+SQL_RESERVED_WORDS = frozenset("""
+ABS ALL ALLOCATE ALTER AND ANY ARE ARRAY AS ASENSITIVE ASYMMETRIC AT ATOMIC
+AUTHORIZATION AVG BEGIN BETWEEN BIGINT BINARY BLOB BOOLEAN BOTH BY CALL
+CALLED CASCADED CASE CAST CEIL CEILING CHAR CHARACTER CHECK CLOB CLOSE
+COALESCE COLLATE COLUMN COMMIT CONDITION CONNECT CONSTRAINT CONVERT CORR
+COUNT CREATE CROSS CUBE CURRENT CURSOR CYCLE DATE DAY DEALLOCATE DEC DECIMAL
+DECLARE DEFAULT DELETE DENSE_RANK DEREF DESCRIBE DETERMINISTIC DISCONNECT
+DISTINCT DOUBLE DROP DYNAMIC EACH ELEMENT ELSE END ESCAPE EVERY EXCEPT EXEC
+EXECUTE EXISTS EXP EXTERNAL EXTRACT FALSE FETCH FILTER FLOAT FLOOR FOR
+FOREIGN FREE FROM FULL FUNCTION FUSION GET GLOBAL GRANT GROUP GROUPING
+HAVING HOLD HOUR IDENTITY IN INDICATOR INNER INOUT INSENSITIVE INSERT INT
+INTEGER INTERSECT INTERVAL INTO IS JOIN LANGUAGE LARGE LATERAL LEADING LEFT
+LIKE LN LOCAL LOWER MATCH MAX MEMBER MERGE METHOD MIN MINUTE MOD MODIFIES
+MODULE MONTH MULTISET NATIONAL NATURAL NCHAR NCLOB NEW NO NONE NORMALIZE
+NOT NULL NULLIF NUMERIC OF OLD ON ONLY OPEN OR ORDER OUT OUTER OVER OVERLAPS
+OVERLAY PARAMETER PARTITION POSITION POWER PRECISION PREPARE PRIMARY
+PROCEDURE RANGE RANK READS REAL RECURSIVE REF REFERENCES REFERENCING
+RELEASE RESULT RETURN RETURNS REVOKE RIGHT ROLLBACK ROLLUP ROW ROWS ROW_NUMBER
+SAVEPOINT SCOPE SCROLL SEARCH SECOND SELECT SENSITIVE SESSION SET SIMILAR
+SMALLINT SOME SPECIFIC SQL SQLEXCEPTION SQLSTATE SQLWARNING SQRT START
+STATIC STDDEV_POP STDDEV_SAMP SUBMULTISET SUBSTRING SUM SYMMETRIC SYSTEM
+TABLE TABLESAMPLE THEN TIME TIMESTAMP TIMEZONE_HOUR TIMEZONE_MINUTE TO
+TRAILING TRANSLATE TREAT TRIGGER TRIM TRUE UESCAPE UNION UNIQUE UNKNOWN
+UNNEST UPDATE UPPER USER USING VALUE VALUES VARCHAR VARYING VAR_POP
+VAR_SAMP WHEN WHENEVER WHERE WIDTH_BUCKET WINDOW WITH WITHIN WITHOUT YEAR
+""".split())
+
+
+def lint_enums(spec: "TableSpec") -> dict[str, list[str]]:
+    """P7 (qcschema.py:166-187): per nominal field, the enum values that are
+    SQL reserved words or start with a digit — invalid as mapping
+    identifiers.  Driver-side rule-spec lint; empty dict = clean."""
+    out: dict[str, list[str]] = {}
+    for f in spec.fields:
+        if f.miptype != "nominal":
+            continue
+        bad = [
+            str(e)
+            for e in f.enum
+            if str(e).upper() in SQL_RESERVED_WORDS or str(e)[:1].isdigit()
+        ]
+        if bad:
+            out[f.name] = bad
+    return out

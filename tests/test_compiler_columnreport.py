@@ -148,3 +148,17 @@ def test_summary(spark):
     assert row["dtype_violations"] == 3
     assert row["constraint_violations"] == 3
     assert row["total_rows"] == 11
+
+
+def test_lint_enums():
+    """P7 enum sanity: SQL keywords and digit-led values are flagged."""
+    from dataqualitycontroltool_spark.specs import TableSpec, lint_enums
+
+    spec = TableSpec.from_descriptor({"fields": [
+        {"name": "a", "type": "string", "MIPType": "nominal",
+         "constraints": {"enum": ["ok", "SELECT", "2fast", "fine"]}},
+        {"name": "b", "type": "string", "MIPType": "nominal",
+         "constraints": {"enum": ["x", "y"]}},
+        {"name": "c", "type": "string", "MIPType": "text"},
+    ]})
+    assert lint_enums(spec) == {"a": ["SELECT", "2fast"]}

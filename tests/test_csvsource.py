@@ -76,3 +76,16 @@ def test_semicolon_csv_through_validation(spark, write):
            out.orderBy(F.col("code").asc_nulls_last()).collect()]
     assert got == [("valid", "valid"), ("constraint", "constraint"),
                    ("missing", "missing")]
+
+
+def test_dcconnector_parse():
+    """S10: pathologies/versions JSON parsing (offline half)."""
+    from dataqualitycontroltool_spark.sources.dcconnector import parse_pathologies
+
+    payload = [
+        {"name": "dementia", "versions": [{"name": "v1"}, {"name": "v2"}]},
+        {"name": "tbi", "versions": []},
+        {"notname": "ignored"},
+    ]
+    assert parse_pathologies(payload) == {"dementia": ["v1", "v2"], "tbi": []}
+    assert parse_pathologies('[{"name": "x", "versions": [{"name": "1"}]}]') == {"x": ["1"]}
