@@ -410,6 +410,15 @@ def q_mapping_expr_orders(spark, sf_dir):
     )
 
 
+def q_curate_documents(spark, sf_dir):
+    """Flagship text pipeline: exact dedup + MinHash-LSH near-dedup +
+    quality + language filters with pinned drop-reason precedence — the
+    documents twin of the image quality filter."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    return corpus.curate_documents(load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_image_features(spark, sf_dir):
     """Multimodal path: synthesize a deterministic image batch (seed 42),
     decode + extract block-mean embeddings + ANN top-3 over them — exercises
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_timeline": q_customer_order_timeline,
         "mapping_expr_orders": q_mapping_expr_orders,
         "consensus_cascade_events": q_consensus_cascade_events,
+        "curate_documents": q_curate_documents,
     }
 
 
@@ -947,6 +957,73 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(ts AS DATE)) AS first_day,
                    max(CAST(ts AS DATE)) AS last_day
             FROM events
+        """,
+        "curate_documents": rf"""
+            WITH {_SH_CTE},
+            mh AS (
+              SELECT doc_id, {_MINHASH_COLS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_ROWS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (
+              SELECT id_a, id_b, count(*) AS c
+              FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            near AS (
+              SELECT DISTINCT id_b AS doc_id
+              FROM common JOIN cnt ca ON ca.doc_id = id_a
+                          JOIN cnt cb ON cb.doc_id = id_b
+              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
+            ),
+            exact AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY
+                         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS k
+                FROM documents
+              ) WHERE doc_id != k
+            ),
+            meta AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END
+                        BETWEEN 30 AND 1000)
+                     AND (round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                                * 1.0 / len(toks), 6) BETWEEN 2.5 AND 8.0)
+                     AND (round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                * 1.0 / length(text), 6) >= 0.6) AS q,
+                     len([x for x in toks if list_contains({_MARKERS['en']}, x)]) AS s_en,
+                     len([x for x in toks if list_contains({_MARKERS['es']}, x)]) AS s_es,
+                     len([x for x in toks if list_contains({_MARKERS['de']}, x)]) AS s_de,
+                     len([x for x in toks if list_contains({_MARKERS['fr']}, x)]) AS s_fr
+              FROM tok JOIN documents USING (doc_id)
+            ),
+            reasons AS (
+              SELECT m.doc_id,
+                     CASE
+                       WHEN e.doc_id IS NOT NULL THEN 'exact_duplicate'
+                       WHEN n.doc_id IS NOT NULL THEN 'near_duplicate'
+                       WHEN NOT m.q THEN 'low_quality'
+                       WHEN (CASE
+                               WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                               WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                               WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                               WHEN s_fr > 0 THEN 'fr'
+                               ELSE 'und'
+                             END) NOT IN ('en', 'es', 'de', 'fr') THEN 'bad_language'
+                     END AS drop_reason
+              FROM meta m
+              LEFT JOIN exact e ON e.doc_id = m.doc_id
+              LEFT JOIN near n ON n.doc_id = m.doc_id
+            )
+            SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM reasons
         """,
         "consensus_cascade_events": """
             WITH daily AS (

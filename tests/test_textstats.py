@@ -72,3 +72,27 @@ def test_fingerprints(spark):
     assert out[1].min_shingle_fp == out[2].min_shingle_fp
     assert out[3].min_shingle_fp is None                # < 3 tokens
     assert out[3].content_fp is not None
+
+
+def test_curate_documents_reasons(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+
+    good = " ".join(["the quick brown fox jumps over a lazy dog"] * 5)
+    rows = [
+        (1, good),                        # kept
+        (2, good),                        # exact dup of 1 -> dropped
+        (3, good + " extra"),             # near dup of 1 -> dropped
+        (4, "short doc"),                 # low quality
+        (5, " ".join(["xyzq"] * 40)),     # no markers -> bad_language
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.keep, r.drop_reason)
+           for r in corpus.curate_documents(df).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "exact_duplicate")
+    assert out[3] == (False, "near_duplicate")
+    assert out[4] == (False, "low_quality")
+    assert out[5] == (False, "bad_language")
+    lineage = {r.outcome: r.n_docs
+               for r in corpus.curation_lineage(corpus.curate_documents(df)).collect()}
+    assert lineage["kept"] == 1 and sum(lineage.values()) == 5
