@@ -37,7 +37,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # --------------------------------------------------------------------------
 # tokenization / shingling (shared with textstats)
@@ -251,14 +251,26 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     k: int = 3,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
 
     Plan: shingle equi-join — pairs are generated only for docs that *share*
-    a shingle, so the complexity is Σ_s df(s)², not n².  At web scale,
-    ``max_shingle_freq`` drops shingles occurring in more than that many docs
-    (stop-shingles contribute pairs quadratically but almost no Jaccard
-    evidence); leave ``None`` for exact parity with the oracle."""
+    a shingle, so the complexity is Σ_s df(s)², not n².  Two scale levers:
+
+    * ``prefix_filter`` (PPJoin-style, RESULT-PRESERVING): a pair with
+      Jaccard >= t must share a shingle within each doc's first
+      ⌊(1-t)·|d|⌋+1 shingles under a global canonical order (ascending
+      document frequency — rare shingles first), and must satisfy the
+      length bound min(|a|,|b|)/max(|a|,|b|) >= t.  Candidates come from
+      joining only the PREFIXES; full verification then computes the exact
+      Jaccard.  Turns Σ df² over all shingles into Σ df² over prefix
+      occurrences — the standard set-similarity-join optimization when
+      stop-shingles dominate.
+    * ``max_shingle_freq`` (approximate): drop shingles occurring in more
+      than that many docs outright.
+
+    Leave both off for the smallest plan (fine when Σ df² is manageable)."""
     sh = shingle_table(df, id_col, text_col, k)
     if max_shingle_freq is not None:
         freq_ok = (
@@ -269,6 +281,8 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(freq_ok, "shingle")
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if prefix_filter:
+        return _jaccard_prefix_filtered(sh, cnt, id_col, threshold)
     common = (
         sh.alias("sa")
         .join(
@@ -288,6 +302,47 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _jaccard_prefix_filtered(
+    sh: DataFrame, cnt: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """PPJoin-lite candidate generation: join only each doc's prefix
+    (the ⌊(1-t)·n⌋+1 globally-rarest shingles), apply the length filter,
+    verify exactly.
+
+    Exactness: the globally-smallest SHARED shingle s* of a qualifying pair
+    is preceded, within each doc's (df, shingle)-sorted list, only by that
+    doc's NON-shared shingles (any shared one would be smaller than s*), and
+    J >= t bounds non-shared count by (1-t)·|d| — so s* sits inside both
+    prefixes.  The pruning threshold is relaxed by the 6-decimal rounding
+    slack (the final emit filter accepts round(J,6) >= t, i.e. true J down
+    to t - 5e-7; pruning with exact t would drop those boundary pairs —
+    caught by an sf0.1 equivalence check)."""
+    threshold = threshold - 1e-6  # rounding slack; final filter still exact
+    docfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(docfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(cnt, id_col)
+        .where(F.col("_rk") <= F.floor((1.0 - threshold) * F.col("n_sh")) + 1)
+        .select(id_col, "shingle", "n_sh")
+    )
+    a, b = ranked.alias("pa"), ranked.alias("pb")
+    cand = (
+        a.join(
+            b,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+            # length filter: min/max >= t is necessary for J >= t
+            & (F.least(F.col("pa.n_sh"), F.col("pb.n_sh"))
+               >= threshold * F.greatest(F.col("pa.n_sh"), F.col("pb.n_sh"))),
+        )
+        .select(F.col(f"pa.{id_col}").alias("id_a"), F.col(f"pb.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return _verified_jaccard(sh, id_col, F.broadcast(cand), threshold + 1e-6, cnt=cnt)
 
 
 # --------------------------------------------------------------------------

@@ -175,6 +175,38 @@ def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: (id, scale, qvec).
+
+    At 10^12 vectors the embedding column dominates storage (64 float32 =
+    256B/row); int8 + one float scale is 68B — a 3.7× cut with bounded
+    error (|x - deq(x)| <= scale/2, scale = max|x|/127).  Pure Catalyst
+    expressions (let-bound scale), columnar end to end."""
+    from dataqualitycontroltool_spark.operators.dedup import let
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def build(vv: Column) -> Column:
+        scale = F.array_max(F.transform(vv, F.abs)) / F.lit(127.0)
+        return F.struct(
+            scale.alias("scale"),
+            F.transform(vv, lambda x: F.round(x / scale).cast("tinyint")).alias("qvec"),
+        )
+
+    q = let(v, build)
+    return df.select(F.col(id_col), q.alias("_q")).select(
+        id_col, F.col("_q.scale").alias("scale"), F.col("_q.qvec").alias("qvec")
+    )
+
+
+def dequantize_int8(df: DataFrame, id_col: str) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: (id, vec:array<double>)."""
+    return df.select(
+        F.col(id_col),
+        F.transform("qvec", lambda x: x.cast("double") * F.col("scale")).alias("vec"),
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str,

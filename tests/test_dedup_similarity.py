@@ -144,3 +144,33 @@ def test_kmeans_centroids_deterministic(spark):
     c2 = similarity.kmeans_centroids(emb, "embedding", k=4, id_col="vec_id")
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = {(r.id_a, r.id_b, r.jaccard) for r in
+             dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.8).collect()}
+    pf = {(r.id_a, r.id_b, r.jaccard) for r in
+          dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 0.8,
+                                    prefix_filter=True).collect()}
+    assert pf == plain and len(plain) > 0
+
+
+def test_int8_quantization_roundtrip_bound(spark):
+    import numpy as np
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    deq = similarity.dequantize_int8(q, "vec_id")
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    scales = {r.vec_id: r.scale for r in q.collect()}
+    back = {r.vec_id: np.asarray(r.vec) for r in deq.collect()}
+    for vid, v in orig.items():
+        err = np.abs(back[vid] - v).max()
+        assert err <= scales[vid] / 2 + 1e-9
+        # cosine nearly preserved
+        cos = (v @ back[vid]) / (np.linalg.norm(v) * np.linalg.norm(back[vid]))
+        assert cos > 0.999
+    # qvec values fit int8
+    row = q.limit(1).collect()[0]
+    assert all(-127 <= x <= 127 for x in row.qvec)
