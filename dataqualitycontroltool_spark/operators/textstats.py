@@ -50,22 +50,39 @@ def _count_in(t: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(t, lambda x: F.array_contains(lst, x)))
 
 
+def quality_struct(text: Column) -> Column:
+    """ALL quality signals as ONE struct from ONE let-bound tokenization —
+    at 10^12 rows the naive form re-runs the regex split once per metric
+    (CollapseProject re-inlines it; see dedup.let)."""
+    from dataqualitycontroltool_spark.operators.dedup import let
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+        alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+        return F.struct(
+            F.length(text).alias("n_chars"),
+            F.when(F.trim(text) == "", F.lit(0)).otherwise(n).alias("n_tokens"),
+            token_count_bpe(text).alias("n_tokens_bpe"),
+            F.round(total_len / n, 6).alias("mean_token_len"),
+            F.round(alpha / F.length(text), 6).alias("alpha_ratio"),
+            F.round(_count_in(t, STOPWORDS) / n, 6).alias("stopword_ratio"),
+        )
+
+    return let(tokens(text), build)
+
+
+QUALITY_FIELDS = ("n_chars", "n_tokens", "n_tokens_bpe", "mean_token_len",
+                  "alpha_ratio", "stopword_ratio")
+
+
 def quality_metrics(text: Column) -> dict[str, Column]:
-    """Per-document quality signals (all double/int, 6-decimal rounded):
-    n_chars, n_tokens, n_tokens_bpe, mean_token_len, alpha_ratio,
-    stopword_ratio."""
-    t = tokens(text)
-    n = F.size(t)
-    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    return {
-        "n_chars": F.length(text),
-        "n_tokens": token_count_ws(text),
-        "n_tokens_bpe": token_count_bpe(text),
-        "mean_token_len": F.round(total_len / n, 6),
-        "alpha_ratio": F.round(alpha / F.length(text), 6),
-        "stopword_ratio": F.round(_count_in(t, STOPWORDS) / n, 6),
-    }
+    """Per-document quality signals (all double/int, 6-decimal rounded).
+    Convenience view over :func:`quality_struct`; when selecting SEVERAL
+    metrics, select the struct once instead (each dict entry re-evaluates
+    the struct expression per reference)."""
+    s = quality_struct(text)
+    return {name: s[name] for name in QUALITY_FIELDS}
 
 
 def quality_keep(
@@ -77,24 +94,36 @@ def quality_keep(
     min_alpha: float = 0.6,
 ) -> Column:
     """Gopher/C4-style keep decision from the quality signals."""
-    m = quality_metrics(text)
-    return (
-        m["n_tokens"].between(min_tokens, max_tokens)
-        & m["mean_token_len"].between(min_mean_len, max_mean_len)
-        & (m["alpha_ratio"] >= min_alpha)
-    )
+    from dataqualitycontroltool_spark.operators.dedup import let
+
+    def decide(s: Column) -> Column:
+        return (
+            s["n_tokens"].between(min_tokens, max_tokens)
+            & s["mean_token_len"].between(min_mean_len, max_mean_len)
+            & (s["alpha_ratio"] >= min_alpha)
+        )
+
+    return let(quality_struct(text), decide)
 
 
 def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality table: (id, n_chars, n_tokens, n_tokens_bpe,
-    mean_token_len, alpha_ratio, stopword_ratio, keep) — a single projection,
-    no shuffle; at 10^12 rows this is a pure map stage over the scan."""
-    c = F.col(text_col)
-    m = quality_metrics(c)
-    return df.select(
-        F.col(id_col),
-        *[expr.alias(name) for name, expr in m.items()],
-        quality_keep(c).alias("keep"),
+    mean_token_len, alpha_ratio, stopword_ratio, keep) — a single projection
+    over ONE let-bound struct (one tokenization per row), no shuffle; at
+    10^12 rows this is a pure map stage over the scan."""
+    from dataqualitycontroltool_spark.operators.dedup import let
+
+    def expand(s: Column) -> Column:
+        keep = (
+            s["n_tokens"].between(30, 1000)
+            & s["mean_token_len"].between(2.5, 8.0)
+            & (s["alpha_ratio"] >= 0.6)
+        )
+        return F.struct(*[s[n].alias(n) for n in QUALITY_FIELDS], keep.alias("keep"))
+
+    out = let(quality_struct(F.col(text_col)), expand)
+    return df.select(F.col(id_col), out.alias("_m")).select(
+        id_col, *[F.col(f"_m.{n}") for n in (*QUALITY_FIELDS, "keep")]
     )
 
 
