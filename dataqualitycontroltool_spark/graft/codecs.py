@@ -147,6 +147,18 @@ def lossy_encode(rgb: np.ndarray, fmt: str) -> bytes:
     return header + zlib.compress(q.tobytes(), 6)
 
 
+def lossy_roundtrip(rgb: np.ndarray) -> np.ndarray:
+    """decode(encode(x)) for the STUB lossy codec without the zlib pass:
+    zlib is lossless, so the round-trip equals the quantization step alone —
+    ~2× cheaper PSNR validation.  Only valid for the stub; with a real codec
+    (HAVE_PIL) callers must do the full encode/decode."""
+    return (
+        (rgb.astype(np.int32) // LOSSY_STEP * LOSSY_STEP + LOSSY_STEP // 2)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
 def lossy_decode(data: bytes, fmt: str) -> np.ndarray:
     magic = _LOSSY_MAGIC[fmt]
     if data[:4] != magic:

@@ -94,3 +94,15 @@ def test_scrub_idempotent_and_total(s):
     once = scrub_text(s)
     assert scrub_text(once) == once  # replacement tokens never re-match
     assert scrub_text(None) is None
+
+
+@given(st.integers(min_value=8, max_value=48),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=25)
+def test_lossy_roundtrip_shortcut_identical(size, seed):
+    """lossy_roundtrip (no zlib) must be bit-identical to the full
+    encode→decode of the stub codec."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+    full = codecs.lossy_decode(codecs.lossy_encode(img, "jpeg"), "jpeg")
+    assert np.array_equal(codecs.lossy_roundtrip(img), full)
