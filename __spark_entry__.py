@@ -226,6 +226,14 @@ def q_text_lang_marker(spark, sf_dir):
     return textstats.lang_marker_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF top-3 characteristic terms per document (pinned ln(N/df)
+    formula, round-6, term-ascending ties)."""
+    return textstats.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top_k=3
+    )
+
+
 def q_text_fingerprints(spark, sf_dir):
     """Content md5 + min-shingle (1-perm MinHash) fingerprint per document."""
     return textstats.fingerprint_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -469,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_marker": q_text_lang_marker,
         "text_fingerprints": q_text_fingerprints,
+        "text_tfidf": q_text_tfidf,
         "profile_date_orderdate": q_profile_date_orderdate,
         "quantile_buckets_documents": q_quantile_buckets_documents,
         "sessions_per_user_distribution": q_sessions_per_user_distribution,
@@ -868,6 +877,26 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_pred,
                    greatest(s_en, s_es, s_de, s_fr) AS score
             FROM s
+        """,
+        "text_tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln((SELECT count(DISTINCT doc_id) FROM documents)
+                                      * 1.0 / dfreq.df_t), 6) AS score
+              FROM tf JOIN dfreq USING (term)
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rnk
+                  FROM scored)
+            SELECT doc_id, term, tf, score, CAST(rnk AS INT) AS rank
+            FROM r WHERE rnk <= 3
         """,
         "profile_date_orderdate": """
             WITH m AS (

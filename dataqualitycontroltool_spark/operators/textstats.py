@@ -158,6 +158,38 @@ def lang_marker_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf:
+    (id, term, tf, score, rank).
+
+    Formula pinned for cross-engine replay: idf = ln(N / df_t) (no
+    smoothing), score = round(tf · idf, 6); ties by term ascending.
+
+    Plan: token explode → (doc, term) count [1 shuffle, partial agg] →
+    document frequency per term [aggregates the previous result — terms are
+    already reduced] → broadcast-join idf (distinct-term table is small
+    relative to the corpus) → per-doc window top-k.  Hot terms are pre-
+    reduced before the window, so skewed vocabularies don't hot-spot."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = dfreq.select("term", F.log(F.lit(float(n_docs)) / F.col("df_t")).alias("idf"))
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", "tf", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
+
+
 def fingerprint_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Document fingerprints: (id, content_fp, min_shingle_fp).
 
