@@ -469,6 +469,78 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# connected components — transitive duplicate-cluster resolution
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, a: str = "id_a", b: str = "id_b"
+) -> DataFrame:
+    """(id, component) for every node in the pair graph; component = the
+    MINIMUM id reachable from the node (the canonical survivor).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min over its neighbors' labels; converges in
+    O(graph diameter) rounds — near-dup graphs are shallow (clusters of
+    variants of one source), so a handful of iterations suffice at any
+    scale.  Each round is one equi-join + one aggregate; ``localCheckpoint``
+    truncates the lineage so the plan doesn't grow exponentially across
+    iterations (the iterative-algorithm pattern Catalyst can't express
+    declaratively — SURVEY §2.8's 'genuinely non-SQL-expressible' class).
+
+    Raises if not converged within ``max_iter`` (pathological chain longer
+    than max_iter — raise the bound, or pre-cluster with stronger LSH)."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def duplicate_clusters(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, **lsh_kwargs
+) -> DataFrame:
+    """Transitive near-duplicate clusters from MinHash-LSH pairs:
+    (id, component, is_survivor) — survivor = smallest id per component.
+    Fixes the greedy pairwise rule's chain blindness (a~b, b~c keeps a and
+    drops b,c even when a~c was never a candidate pair)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold, **lsh_kwargs)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("id").alias(id_col),
+        "comp",
+        (F.col("id") == F.col("comp")).alias("is_survivor"),
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

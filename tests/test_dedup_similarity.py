@@ -174,3 +174,31 @@ def test_int8_quantization_roundtrip_bound(spark):
     # qvec values fit int8
     row = q.limit(1).collect()[0]
     assert all(-127 <= x <= 127 for x in row.qvec)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4, island pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_transitive(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base + " v2"),        # pair (1,2)
+        (3, base + " v2 v3"),     # pair (2,3); (1,3) may be below threshold
+        (9, "completely different text about other things entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: (r.comp, r.is_survivor)
+           for r in dedup.duplicate_clusters(df, "id", "text", threshold=0.5).collect()}
+    # all three variants share one component rooted at 1; 9 not in graph
+    assert out[1] == (1, True)
+    assert out[2][0] == 1 and not out[2][1]
+    assert out[3][0] == 1 and not out[3][1]
+    assert 9 not in out
