@@ -418,6 +418,45 @@ def q_mapping_expr_orders(spark, sf_dir):
     )
 
 
+def q_windowed_validation_events(spark, sf_dir):
+    """The streaming windowed per-field summary (streaming/validate.py) run
+    in BATCH mode over events — same aggregation logic, oracle-checked (the
+    stream==batch equality test then transfers the oracle's guarantee to
+    the streaming path)."""
+    from dataqualitycontroltool_spark import streaming as stm
+    from dataqualitycontroltool_spark.specs import TableSpec
+
+    spec = TableSpec.from_descriptor({
+        "fields": [
+            {"name": "event_type", "type": "string", "MIPType": "nominal",
+             "constraints": {"enum": ["click", "view", "purchase"]}},
+            {"name": "value", "type": "number", "MIPType": "numerical",
+             "constraints": {"minimum": 0, "maximum": 50}},
+        ],
+        "missingValues": [""],
+    })
+    ev = load_table(spark, sf_dir, "events")
+    out = stm.validated_stream(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")), spec
+    )
+    win = F.window(F.col("ts"), "1 day")
+    per_field = F.array(*[
+        F.struct(F.lit(f).alias("field"),
+                 F.col(f"{f}__status").alias("st"))
+        for f in ("event_type", "value")
+    ])
+    return (
+        out.select(win.alias("w"), F.explode(per_field).alias("f"))
+        .groupBy(F.col("w.start").alias("window_start"), F.col("f.field").alias("field"))
+        .agg(
+            F.sum((F.col("f.st") == "missing").cast("long")).alias("nulls"),
+            F.sum((F.col("f.st") == "valid").cast("long")).alias("valid"),
+            F.sum((F.col("f.st") == "constraint").cast("long")).alias("constraint_violations"),
+            F.count(F.lit(1)).alias("total_rows"),
+        )
+    )
+
+
 def q_curate_documents(spark, sf_dir):
     """Flagship text pipeline: exact dedup + MinHash-LSH near-dedup +
     quality + language filters with pinned drop-reason precedence — the
@@ -491,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_expr_orders": q_mapping_expr_orders,
         "consensus_cascade_events": q_consensus_cascade_events,
         "curate_documents": q_curate_documents,
+        "windowed_validation_events": q_windowed_validation_events,
     }
 
 
@@ -986,6 +1026,29 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(ts AS DATE)) AS first_day,
                    max(CAST(ts AS DATE)) AS last_day
             FROM events
+        """,
+        "windowed_validation_events": """
+            WITH st AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                     CASE WHEN event_type IS NULL OR event_type = '' THEN 'missing'
+                          WHEN event_type NOT IN ('click', 'view', 'purchase')
+                            THEN 'constraint'
+                          ELSE 'valid' END AS et_st,
+                     CASE WHEN value IS NULL THEN 'missing'
+                          WHEN value < 0 OR value > 50 THEN 'constraint'
+                          ELSE 'valid' END AS v_st
+              FROM events
+            ), u AS (
+              SELECT window_start, 'event_type' AS field, et_st AS st FROM st
+              UNION ALL SELECT window_start, 'value', v_st FROM st
+            )
+            SELECT window_start, field,
+                   sum(CASE WHEN st = 'missing' THEN 1 ELSE 0 END) AS nulls,
+                   sum(CASE WHEN st = 'valid' THEN 1 ELSE 0 END) AS valid,
+                   sum(CASE WHEN st = 'constraint' THEN 1 ELSE 0 END)
+                     AS constraint_violations,
+                   count(*) AS total_rows
+            FROM u GROUP BY 1, 2
         """,
         "curate_documents": rf"""
             WITH {_SH_CTE},
