@@ -133,3 +133,16 @@ def test_row_histograms(spark):
         for r in profiler.quantile_bucket_stats(flags, "n_valid", total_cols=4).collect()
     }
     assert buckets == {"100%": 2, "50-74%": 1, "0-24%": 1}
+
+
+def test_profile_numerical_approx_mode(spark):
+    """The exact=False path (approx_percentile sketch for extreme scale)
+    runs and lands near the exact quantiles."""
+    from dataqualitycontroltool_spark.operators import profiler
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = profiler.profile_numerical(li, "l_quantity").collect()[0]
+    approx = profiler.profile_numerical(li, "l_quantity", exact=False).collect()[0]
+    assert approx.mean == exact.mean and approx.min == exact.min
+    for q in ("q1", "median", "q3"):
+        assert abs(getattr(approx, q) - getattr(exact, q)) <= 2.0
