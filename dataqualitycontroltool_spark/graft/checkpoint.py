@@ -65,8 +65,14 @@ def ensure_dedup_index(
         return None
     idx_path = str(Path(out_path) / DEDUP_DIR)
     if not (Path(idx_path) / "_SUCCESS").exists():
+        from dataqualitycontroltool_spark.graft.pipeline import hamming_dedup_index
+
         df = spark.read.parquet(in_path)
-        dedup_index(df, cfg.dedupe_on).write.mode("overwrite").parquet(idx_path)
+        if getattr(cfg, "dedupe_hamming", 0) > 0:
+            idx = hamming_dedup_index(df, cfg.dedupe_on, cfg.dedupe_hamming)
+        else:
+            idx = dedup_index(df, cfg.dedupe_on)
+        idx.write.mode("overwrite").parquet(idx_path)
     return spark.read.parquet(idx_path)
 
 

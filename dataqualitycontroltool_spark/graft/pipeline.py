@@ -63,6 +63,44 @@ def dedup_index(df: DataFrame, key: str = "phash") -> DataFrame:
     )
 
 
+def hamming_dedup_index(
+    df: DataFrame, key: str = "phash", max_hamming: int = 3, id_col: str = "image_id"
+) -> DataFrame:
+    """(key, keeper_id, n_members) like :func:`dedup_index`, but merging
+    fingerprint values within ``max_hamming`` bits into ONE group — the
+    north-star's phash NEAR-duplicate groups (re-encodes / slight crops
+    share a perceptual hash up to a few flipped bits, never exactly).
+
+    Plan: distinct phashes (already reduced — one row per value, not per
+    image) → banded hamming self-join → connected components (transitive:
+    a≈b≈c merges even when a,c differ by 2·max_hamming) → fold per-value
+    keeper/count up to the component level.  Only phashes that participate
+    in near-dup pairs enter the iterative step."""
+    from dataqualitycontroltool_spark.operators.dedup import (
+        banded_hamming_pairs,
+        connected_components,
+    )
+
+    ph = df.select(F.col(key).alias("fp_id"), F.col(key).alias("fp")).distinct()
+    pairs = banded_hamming_pairs(ph, "fp_id", "fp", max_hamming)
+    comps = connected_components(pairs)  # (id=phash, comp=min phash in cluster)
+
+    per_key = df.groupBy(key).agg(
+        F.min(id_col).alias("_keeper"), F.count(F.lit(1)).alias("_n")
+    )
+    merged = (
+        per_key.join(comps, per_key[key] == comps.id, "left")
+        .withColumn("comp", F.coalesce("comp", F.col(key)))
+        .select(key, "comp", "_keeper", "_n")
+    )
+    comp_agg = merged.groupBy("comp").agg(
+        F.min("_keeper").alias("keeper_id"), F.sum("_n").alias("n_members")
+    )
+    return merged.select(key, "comp").join(comp_agg, "comp").select(
+        key, "keeper_id", "n_members"
+    )
+
+
 def run_pipeline(
     df: DataFrame,
     cfg: KeepDropConfig | None = None,
@@ -87,7 +125,12 @@ def run_pipeline(
     # shuffle layout; the join then hash-partitions by phash and the salt
     # re-spreads the hot clusters before the UDF stage.
     if cfg.dedupe_on:
-        idx = dedup if dedup is not None else dedup_index(df, cfg.dedupe_on)
+        if dedup is not None:
+            idx = dedup
+        elif getattr(cfg, "dedupe_hamming", 0) > 0:
+            idx = hamming_dedup_index(df, cfg.dedupe_on, cfg.dedupe_hamming)
+        else:
+            idx = dedup_index(df, cfg.dedupe_on)
         dup_groups = idx.where(F.col("n_members") > 1).select(cfg.dedupe_on, "keeper_id")
         if not n_partitions:
             dup_groups = F.broadcast(dup_groups)

@@ -41,6 +41,10 @@ class KeepDropConfig:
     max_perplexity: float = 80.0
     min_psnr_db: float = MIN_PSNR_DB
     dedupe_on: str = "phash"  # exact-duplicate key; '' disables
+    # >0: merge phash values within this hamming distance into one duplicate
+    # group (pipeline.hamming_dedup_index) — near-dup images share a
+    # perceptual hash only up to a few flipped bits; 0 = exact equality
+    dedupe_hamming: int = 0
 
     missing_values: tuple = ("",)
 

@@ -432,25 +432,46 @@ def simhash_pairs(
     materialization barrier Catalyst re-inlines the (expensive) fingerprint
     expression into every reference site.  The persisted table is tiny —
     (id, long) per doc."""
-    if max_hamming > bands - 1:
-        raise ValueError("banded simhash join is only exact for max_hamming <= bands-1")
-    width = SIMHASH_BITS // bands
-    mask = (1 << width) - 1
     sh = simhash_table(df, id_col, text_col, token_hash).persist()
+    return banded_hamming_pairs(sh, id_col, "simhash", max_hamming, bands, SIMHASH_BITS)
+
+
+def banded_hamming_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Pairs of rows whose integer fingerprints differ in <= max_hamming
+    bits: (id_a, id_b, hamming) — works for ANY int64 fingerprint column
+    (SimHash, image phash, audio chromaprint...).
+
+    Banded equi-join: the fingerprint splits into ``bands`` disjoint
+    bit-ranges; a pair with <= bands-1 differing bits must agree on at
+    least one band (pigeonhole) → EXACT for max_hamming <= bands-1 with
+    narrow integer join keys instead of an O(n²) scan.  Negative int64
+    fingerprints are fine: arithmetic shift + mask extracts the same bit
+    ranges."""
+    if max_hamming > bands - 1:
+        raise ValueError("banded hamming join is only exact for max_hamming <= bands-1")
+    width = bits // bands
+    mask = (1 << width) - 1
     entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
+                F.shiftright(F.col(fp_col), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
             )
             for b in range(bands)
         ]
     )
-    bl = sh.select(id_col, "simhash", F.explode(entries).alias("e")).select(
-        id_col, "simhash", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    bl = fp_df.select(id_col, fp_col, F.explode(entries).alias("e")).select(
+        id_col, fp_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
     a, b = bl.alias("a"), bl.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
     return (
         a.join(
             b,

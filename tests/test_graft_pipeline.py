@@ -123,3 +123,41 @@ def test_broadcast_and_salted_paths_agree(spark):
           for r in b.collect()}
     assert ka == kb and len(ka) == 400
     df.unpersist()
+
+
+def test_hamming_dedup_catches_near_dup_phashes(spark):
+    """Near-duplicate images (perturbed cluster variants) have phashes a few
+    bits apart — exact-equality dedup misses them, hamming dedup groups
+    them transitively."""
+    from dataqualitycontroltool_spark.graft.pipeline import (
+        dedup_index,
+        hamming_dedup_index,
+    )
+    from dataqualitycontroltool_spark.graft.synth import generate_images
+
+    df = generate_images(spark, 600, n_partitions=4).cache()
+    exact = dedup_index(df, "phash")
+    ham = hamming_dedup_index(df, "phash", max_hamming=3)
+
+    n_exact_dup = (
+        exact.where("n_members > 1").agg({"n_members": "sum"}).collect()[0][0] or 0
+    )
+    n_ham_dup = ham.where("n_members > 1").agg({"n_members": "sum"}).collect()[0][0]
+    assert n_ham_dup >= n_exact_dup  # strictly more rows join a dup group...
+    assert n_ham_dup > 0
+
+    # consistency: every exact-dup group survives inside some hamming group,
+    # and keepers are still the minimum image_id of their (larger) group
+    h = {r.phash: (r.keeper_id, r.n_members) for r in ham.collect()}
+    for r in exact.where("n_members > 1").collect():
+        hk, hn = h[r.phash]
+        assert hn >= r.n_members
+        assert hk <= r.keeper_id
+
+    # end-to-end: pipeline runs with the hamming config and flags >= as many dups
+    out_exact = run_pipeline(df, KeepDropConfig())
+    out_ham = run_pipeline(df, KeepDropConfig(dedupe_hamming=3))
+    d_exact = out_exact.where("is_dup").count()
+    d_ham = out_ham.where("is_dup").count()
+    assert d_ham >= d_exact
+    df.unpersist()
