@@ -185,6 +185,36 @@ def quantile_bucket_stats(
     )
 
 
+def profile_table(df: DataFrame, spec, threshold: float = 3.0, exact: bool = True) -> dict:
+    """{field_name: profile DataFrame} for every spec field, profiling only
+    the cast-VALID values — exactly the reference's per-column stats flow
+    (``controller/columnreport.py:439-464``: validate → cast valid pairs →
+    ``profile_<miptype>``), but from ONE validation pass instead of a
+    re-scan per column (the reference's O(cols × file) anti-pattern,
+    SURVEY §4.1).
+
+    The validated frame is cached because every field's profile aggregates
+    it; each profile is a 1-row DataFrame dispatched by MIPType."""
+    from dataqualitycontroltool_spark.plans.compiler import ValidationPlan
+
+    validated = ValidationPlan(spec).apply(df, derive=("cast",)).cache()
+    out = {}
+    for f in spec.fields:
+        col = f"{f.name}__cast"
+        sub = validated.where(F.col(col).isNotNull()).select(F.col(col).alias(f.name))
+        if f.miptype == "numerical":
+            out[f.name] = profile_numerical(sub, f.name, threshold, exact)
+        elif f.miptype == "integer":
+            out[f.name] = profile_integer(sub, f.name, exact)
+        elif f.miptype == "date":
+            out[f.name] = profile_date(sub, f.name)
+        elif f.miptype == "nominal":
+            out[f.name] = profile_nominal(sub, f.name)
+        else:
+            out[f.name] = profile_text(sub, f.name)
+    return out
+
+
 def group_mode(df: DataFrame, group_keys: list[str], value_col: str) -> DataFrame:
     """A10/A11 (mrisequence.py:167-183, mristudy.py:25-29): most-frequent value
     per group ("consensus"), ties → smallest value.  Pattern: count per

@@ -94,10 +94,17 @@ def report_tables(df: DataFrame, spec: TableSpec) -> dict[str, DataFrame]:
     }
 
 
-def write_report(df: DataFrame, spec: TableSpec, outdir: str) -> None:
-    """Write all four report tables as parquet under ``outdir/<name>/``."""
+def write_report(
+    df: DataFrame, spec: TableSpec, outdir: str, with_profiles: bool = True
+) -> None:
+    """Write the four report tables (+ per-field MIPType profiles, the
+    Excel report's Column Statistics detail) as parquet under
+    ``outdir/<name>/``."""
     for name, table in report_tables(df, spec).items():
         table.write.mode("overwrite").parquet(f"{outdir}/{name}")
+    if with_profiles:
+        for fname, prof in profiler.profile_table(df, spec).items():
+            prof.write.mode("overwrite").parquet(f"{outdir}/profile_{fname}")
 
 
 def write_corrected_csv(df: DataFrame, spec: TableSpec, path: str) -> None:

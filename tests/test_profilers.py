@@ -146,3 +146,26 @@ def test_profile_numerical_approx_mode(spark):
     assert approx.mean == exact.mean and approx.min == exact.min
     for q in ("q1", "median", "q3"):
         assert abs(getattr(approx, q) - getattr(exact, q)) <= 2.0
+
+
+def test_profile_table_dispatch(spark):
+    """profile_table validates once and dispatches each field's profile by
+    MIPType over the cast-valid values only."""
+    from dataqualitycontroltool_spark.operators import profiler
+    from dataqualitycontroltool_spark.specs import TableSpec
+
+    spec = TableSpec.from_descriptor({"fields": [
+        {"name": "lang", "type": "string", "MIPType": "nominal",
+         "constraints": {"enum": ["en", "es", "de", "fr"]}},
+        {"name": "n_chars", "type": "integer", "MIPType": "integer"},
+        {"name": "source", "type": "string", "MIPType": "text"},
+    ], "missingValues": [""]})
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    profs = profiler.profile_table(docs, spec)
+    assert set(profs) == {"lang", "n_chars", "source"}
+    lang = profs["lang"].collect()[0]
+    assert lang.categories_num <= 4  # invalid values (zh, ...) excluded
+    assert set(lang.categories.split(",")) <= {"en", "es", "de", "fr"}
+    nc = profs["n_chars"].collect()[0]
+    assert nc.min >= 0 and nc.q1 <= nc.median <= nc.q3 <= nc.max
+    assert profs["source"].collect()[0].unique > 0
