@@ -89,3 +89,70 @@ def test_dcconnector_parse():
     ]
     assert parse_pathologies(payload) == {"dementia": ["v1", "v2"], "tbi": []}
     assert parse_pathologies('[{"name": "x", "versions": [{"name": "1"}]}]') == {"x": ["1"]}
+
+
+def test_dc_tree_flattening(spark):
+    """S3: Data-Catalogue tree (groups->variables) flattens to a frictionless
+    descriptor that drives validation end to end."""
+    from dataqualitycontroltool_spark.plans.compiler import ValidationPlan
+    from dataqualitycontroltool_spark.specs import TableSpec, frictionless_from_dc
+
+    dc = {
+        "code": "root", "label": "Root",
+        "variables": [
+            {"code": "age", "label": "Age", "type": "int",
+             "minValue": 0, "maxValue": 120},
+        ],
+        "groups": [
+            {"code": "demo", "label": "Demographics",
+             "variables": [
+                 {"code": "gender", "label": "Gender", "type": "nominal",
+                  "sql_type": "text",
+                  "enumerations": [{"code": "M", "label": "male"},
+                                   {"code": "F", "label": "female"}]},
+             ],
+             "groups": [
+                 {"code": "inner",
+                  "variables": [{"code": "score", "type": "real"}]},
+             ]},
+        ],
+    }
+    desc = frictionless_from_dc(dc)
+    by_name = {f["name"]: f for f in desc["fields"]}
+    assert set(by_name) == {"age", "gender", "score"}
+    assert by_name["age"]["MIPType"] == "integer"
+    assert by_name["age"]["constraints"] == {"minimum": 0, "maximum": 120}
+    assert by_name["gender"]["constraints"]["enum"] == ["M", "F"]
+    assert by_name["gender"]["conceptPath"] == "/root/demo/gender"
+    assert by_name["score"]["conceptPath"] == "/root/demo/inner/score"
+
+    spec = TableSpec.from_descriptor(desc)
+    df = spark.createDataFrame(
+        [("30", "M", "1.5"), ("200", "X", "bad")],
+        "age string, gender string, score string",
+    )
+    out = ValidationPlan(spec).apply(df, derive=("status",)).collect()
+    sts = [(r["age__status"], r["gender__status"], r["score__status"]) for r in out]
+    assert ("valid", "valid", "valid") in sts
+    assert ("constraint", "constraint", "dtype") in sts
+
+
+def test_checkpoint_partition_pruning(spark, tmp_path):
+    """The checkpoint orchestrator's per-partition read must prune at the
+    file-listing level (PartitionFilters on part=) - at 10^12 rows reading
+    the other partitions' files would dwarf the work."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "p")
+    spark.range(100).withColumn("part", (F.col("id") % 4).cast("int")) \
+        .write.partitionBy("part").parquet(src)
+    df = spark.read.parquet(src).where(F.col("part") == 2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters")[1][:80]
+    assert df.count() == 25
