@@ -93,16 +93,35 @@ def windowed_field_summary(
     )
 
 
-def stream_quality_filter(stream_df: DataFrame, cfg=None) -> DataFrame:
+def stream_quality_filter(
+    stream_df: DataFrame,
+    cfg=None,
+    dedupe_within: str | None = None,
+    time_col: str = "ts",
+) -> DataFrame:
     """The graft caption quality filter on a stream: identical rule/scrub/UDF
     code (pipeline.run_pipeline) minus the dedup join — global exact-dedup
     needs either a precomputed index (pass it in batch) or stateful
-    dropDuplicates, so the streaming default flags no duplicates and the
-    orchestrator reconciles dups per checkpointed partition."""
+    dedup, so the streaming default flags no duplicates and the orchestrator
+    reconciles dups per checkpointed partition.
+
+    ``dedupe_within`` (e.g. "1 hour") enables BOUNDED-STATE streaming dedup:
+    later arrivals with an already-seen ``cfg.dedupe_on`` key are DROPPED via
+    ``dropDuplicatesWithinWatermark`` (state per key expires once the
+    watermark passes the retention window — the streaming analogue of the
+    per-partition dedup index, trading the batch 'flag the loser' semantics
+    for 'first arrival wins' since a stream can't retro-flag).  Requires a
+    ``time_col`` event-time column on the stream."""
     from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
     from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
 
     cfg = cfg or KeepDropConfig()
+    if dedupe_within and cfg.dedupe_on:
+        stream_df = (
+            stream_df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+            .withWatermark(time_col, dedupe_within)
+            .dropDuplicatesWithinWatermark([cfg.dedupe_on])
+        )
     cfg = type(cfg)(**{**cfg.__dict__, "dedupe_on": ""})
     return run_pipeline(stream_df, cfg)
 

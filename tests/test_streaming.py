@@ -124,3 +124,25 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
     stream3 = _read_stream(spark, src)
     st.write_validated(st.stream_quality_filter(stream3), out_path, ckpt).awaitTermination(180)
     assert spark.read.parquet(out_path).count() == 150
+
+
+def test_stream_dedupe_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup: a second arrival of the same phash is
+    dropped (first wins); distinct phashes all survive."""
+    src = str(tmp_path / "imgs")
+    df = generate_images(spark, 120, n_partitions=1).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    df.write.parquet(src)
+    n_distinct = df.select("phash").distinct().count()
+
+    schema = spark.read.parquet(src).schema
+    stream = _read_stream(spark, src)
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = st.write_validated(
+        st.stream_quality_filter(stream, dedupe_within="1 hour"), out_path, ckpt
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_path)
+    assert got.count() == n_distinct
+    assert got.select("image_id").distinct().count() == n_distinct
