@@ -500,17 +500,19 @@ def connected_components(
     """(id, component) for every node in the pair graph; component = the
     MINIMUM id reachable from the node (the canonical survivor).
 
-    Min-label propagation: every node starts labeled with itself; each
-    round takes the min over its neighbors' labels; converges in
-    O(graph diameter) rounds — near-dup graphs are shallow (clusters of
-    variants of one source), so a handful of iterations suffice at any
-    scale.  Each round is one equi-join + one aggregate; ``localCheckpoint``
-    truncates the lineage so the plan doesn't grow exponentially across
-    iterations (the iterative-algorithm pattern Catalyst can't express
-    declaratively — SURVEY §2.8's 'genuinely non-SQL-expressible' class).
+    Min-label propagation WITH POINTER JUMPING: every node starts labeled
+    with itself; each round takes the min over its neighbors' labels and
+    then path-halves (label := label of label), so convergence is
+    O(log diameter) — plain propagation is O(diameter) and a 96k-image
+    near-dup phash graph was measured to chain past 25 hops (perturbed
+    variants connect through intermediate hashes).  Each round is two
+    equi-joins + one aggregate; ``localCheckpoint`` truncates the lineage so
+    the plan doesn't grow exponentially across iterations (the
+    iterative-algorithm pattern Catalyst can't express declaratively —
+    SURVEY §2.8's 'genuinely non-SQL-expressible' class).
 
-    Raises if not converged within ``max_iter`` (pathological chain longer
-    than max_iter — raise the bound, or pre-cluster with stronger LSH)."""
+    Raises if not converged within ``max_iter`` (with jumping that needs a
+    diameter over ~2^25 — effectively impossible)."""
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint()
@@ -525,11 +527,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: comp := comp(comp) — halves every label chain
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+                ).alias("y"),
+                F.col("x.comp") == F.col("y._pid"),
+                "left",
+            )
             .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.comp"), F.coalesce("_pcomp", F.col("x.comp"))
+                ).alias("comp"),
             )
             .localCheckpoint()
         )

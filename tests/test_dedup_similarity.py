@@ -202,3 +202,12 @@ def test_duplicate_clusters_transitive(spark):
     assert out[2][0] == 1 and not out[2][1]
     assert out[3][0] == 1 and not out[3][1]
     assert 9 not in out
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a 60-hop chain collapses within the default round
+    budget (plain propagation would need 60 rounds and raise)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(60)],
+                                  "id_a long, id_b long")
+    comps = dedup.connected_components(pairs)
+    assert {r.comp for r in comps.collect()} == {0}
