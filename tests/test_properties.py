@@ -106,3 +106,34 @@ def test_lossy_roundtrip_shortcut_identical(size, seed):
     img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
     full = codecs.lossy_decode(codecs.lossy_encode(img, "jpeg"), "jpeg")
     assert np.array_equal(codecs.lossy_roundtrip(img), full)
+
+
+@st.composite
+def arith_expr(draw, depth=0):
+    """Random arithmetic expression over int literals with + - * and parens
+    (no division — SQL / is typed division, Python's isn't)."""
+    if depth >= 3 or draw(st.booleans()):
+        return str(draw(st.integers(min_value=0, max_value=99)))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    left = draw(arith_expr(depth=depth + 1))
+    right = draw(arith_expr(depth=depth + 1))
+    return f"({left} {op} {right})"
+
+
+@given(arith_expr())
+@settings(max_examples=40, deadline=None)
+def test_mapping_expr_arithmetic_matches_python(spark_lazy, expr):
+    from dataqualitycontroltool_spark.functions import compile_expression
+
+    spark = spark_lazy()
+    got = spark.range(1).select(compile_expression(expr).alias("r")).collect()[0].r
+    assert got == eval(expr)  # noqa: S307 - expression built from safe grammar
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def spark_lazy(spark):
+    """Hypothesis forbids function-scoped fixtures; hand it a session getter."""
+    return lambda: spark
