@@ -80,6 +80,14 @@ def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int) -> Dat
     the fan-in half of blocked matrix multiplication: a groupBy shuffle
     carrying each vector exactly once."""
 
+    dtype = dict(df.dtypes)[id_col]
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"blocked cosine needs an integral id column (got {id_col}: {dtype}); "
+            "hash string ids to int64 first (e.g. xxhash64) and keep a mapping, "
+            "or use brute_force_topk which accepts any id type"
+        )
+
     def pack(pdf):
         import numpy as np
 

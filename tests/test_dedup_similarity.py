@@ -211,3 +211,10 @@ def test_connected_components_long_chain_converges(spark):
                                   "id_a long, id_b long")
     comps = dedup.connected_components(pairs)
     assert {r.comp for r in comps.collect()} == {0}
+
+
+def test_blocked_cosine_rejects_string_ids(spark):
+    """String ids would silently cast to NULL blocks — must raise instead."""
+    df = spark.createDataFrame([("a", [1.0, 0.0])], "img string, v array<double>")
+    with pytest.raises(TypeError, match="integral id"):
+        similarity.cosine_pairs_blocked(df, "img", "v")
