@@ -53,6 +53,14 @@ def sessionize_stream(
     emitted once per session (append mode)."""
     from pyspark.sql import functions as F
 
+    dtype = dict(stream_df.dtypes).get(user_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"sessionize_stream needs an integral {user_col!r} (got {dtype}); "
+            "hash string keys to int64 (xxhash64) or adapt SESSION_SCHEMA/"
+            "STATE_SCHEMA to string keys"
+        )
+
     gap_us = gap_seconds * 1_000_000
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:

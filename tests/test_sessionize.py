@@ -68,3 +68,11 @@ def test_batch_sessionizer_shape(spark):
     out = {(r.user_id, r.n_events, r.total_value)
            for r in sessionize_batch(df, gap_seconds=GAP).collect()}
     assert out == {(1, 2, 3.0), (1, 1, 3.0), (2, 1, 5.0)}
+
+
+def test_sessionize_rejects_string_user_ids(spark):
+    df = spark.createDataFrame([("u1", "2024-01-01 00:00:00", 1.0)],
+                               "user_id string, ts string, value double")
+    stream_like = df  # dtype check happens before any streaming machinery
+    with pytest.raises(TypeError, match="integral"):
+        sessionize_stream(stream_like)
