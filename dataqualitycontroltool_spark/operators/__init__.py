@@ -1,1 +1,10 @@
-from dataqualitycontroltool_spark.operators import profiler, duplicates  # noqa: F401
+from dataqualitycontroltool_spark.operators import (  # noqa: F401
+    corpus,
+    dedup,
+    duplicates,
+    hierarchy,
+    multimodal,
+    profiler,
+    similarity,
+    textstats,
+)
