@@ -720,10 +720,10 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'source', source_st FROM st
             )
             SELECT field,
-                   sum(CASE WHEN st = 'missing' THEN 1 ELSE 0 END) AS nulls,
-                   sum(CASE WHEN st = 'valid' THEN 1 ELSE 0 END) AS valid,
-                   sum(CASE WHEN st = 'dtype' THEN 1 ELSE 0 END) AS dtype_violations,
-                   sum(CASE WHEN st = 'constraint' THEN 1 ELSE 0 END) AS constraint_violations,
+                   CAST(sum(CASE WHEN st = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(sum(CASE WHEN st = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+                   CAST(sum(CASE WHEN st = 'dtype' THEN 1 ELSE 0 END) AS BIGINT) AS dtype_violations,
+                   CAST(sum(CASE WHEN st = 'constraint' THEN 1 ELSE 0 END) AS BIGINT) AS constraint_violations,
                    count(*) AS total_rows,
                    round((count(*) - sum(CASE WHEN st = 'missing' THEN 1 ELSE 0 END))
                          * 100.0 / count(*), 6) AS filled_pct
@@ -1043,9 +1043,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT window_start, 'value', v_st FROM st
             )
             SELECT window_start, field,
-                   sum(CASE WHEN st = 'missing' THEN 1 ELSE 0 END) AS nulls,
-                   sum(CASE WHEN st = 'valid' THEN 1 ELSE 0 END) AS valid,
-                   sum(CASE WHEN st = 'constraint' THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN st = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(sum(CASE WHEN st = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+                   CAST(sum(CASE WHEN st = 'constraint' THEN 1 ELSE 0 END) AS BIGINT)
                      AS constraint_violations,
                    count(*) AS total_rows
             FROM u GROUP BY 1, 2
@@ -1080,11 +1080,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        min(doc_id) OVER (PARTITION BY
                          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS k
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
               ) WHERE doc_id != k
             ),
             meta AS (
               SELECT doc_id,
+                     text IS NULL AS is_null,
                      (CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END
                         BETWEEN 30 AND 1000)
                      AND (round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
@@ -1100,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
             reasons AS (
               SELECT m.doc_id,
                      CASE
+                       WHEN m.is_null THEN 'null_text'
                        WHEN e.doc_id IS NOT NULL THEN 'exact_duplicate'
                        WHEN n.doc_id IS NOT NULL THEN 'near_duplicate'
                        WHEN NOT m.q THEN 'low_quality'

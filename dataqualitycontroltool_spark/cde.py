@@ -230,7 +230,9 @@ class CdeDict:
         cands = [c for c in self._cdes.values() if c.miptype == miptype]
         if not cands:
             return None
-        best = max(cands, key=lambda c: (c.similarity(name, valrange), c.code))
+        # min over (-sim, code): highest similarity, ties by SMALLEST code —
+        # the same order match_columns_distributed pins with cde_code.asc()
+        best = min(cands, key=lambda c: (-c.similarity(name, valrange), c.code))
         return best if best.similarity(name, valrange) >= threshold else None
 
     def suggest_replacements(

@@ -123,7 +123,16 @@ def _pow(a, raw): return F.pow(a[0], a[1])
 def _sqrt(a, raw): return F.sqrt(a[0])
 
 @_fn("round", 1, 2)
-def _round(a, raw): return F.round(a[0], int(raw[1]) if len(a) > 1 else 0)
+def _round(a, raw):
+    if len(a) <= 1:
+        return F.round(a[0], 0)
+    # F.round requires a literal scale; a computed second arg (raw None or
+    # non-integer text) must be a clean ExpressionError, not a TypeError
+    try:
+        scale = int(raw[1])
+    except (TypeError, ValueError):
+        raise ExpressionError("round scale must be an integer literal")
+    return F.round(a[0], scale)
 
 @_fn("cos", 1, 1)
 def _cos(a, raw): return F.cos(a[0])

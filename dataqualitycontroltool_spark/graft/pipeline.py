@@ -131,7 +131,12 @@ def run_pipeline(
             idx = hamming_dedup_index(df, cfg.dedupe_on, cfg.dedupe_hamming)
         else:
             idx = dedup_index(df, cfg.dedupe_on)
-        dup_groups = idx.where(F.col("n_members") > 1).select(cfg.dedupe_on, "keeper_id")
+        # indexes persisted before n_members existed lack the column — fall
+        # back to treating every group as a candidate (the join result is
+        # identical; the filter is only a size optimization)
+        if "n_members" in idx.columns:
+            idx = idx.where(F.col("n_members") > 1)
+        dup_groups = idx.select(cfg.dedupe_on, "keeper_id")
         if not n_partitions:
             dup_groups = F.broadcast(dup_groups)
         df = df.join(dup_groups, on=cfg.dedupe_on, how="left").withColumn(

@@ -14,13 +14,18 @@ Stages (all composable operators from this package):
 4. language        — marker language-ID ∈ allowed set.
 
 Drop reason is the FIRST failing stage in the order above (same pinned-
-precedence contract as the image rule engine, graft/rules.py).
+precedence contract as the image rule engine, graft/rules.py); NULL text
+short-circuits everything with its own reason (a null/unparseable doc must
+never pass the gate by predicate-NULL fallthrough).
 
 Scale shape: stages 3-4 are pure projections; stage 1 is one hash
-aggregate; stage 2 is the banded-LSH plan; the final assembly joins two
-SMALL id sets (exact-dup losers, near-dup losers) back to the corpus —
-both broadcast, so the `text` payload itself is scanned but never
-shuffled."""
+aggregate joined back on the fingerprint (no per-group id arrays — a
+boilerplate fingerprint with millions of members stays a 1-row aggregate,
+never a giant collect_list row); stage 2 is the banded-LSH plan.  The
+loser sets join back to the corpus as PLAIN equi-joins on uniform keys —
+no broadcast hints: on a duplicate-heavy crawl (30-50% losers is normal
+for web corpora) the loser sets are O(corpus), and AQE will still pick a
+broadcast join at runtime when they happen to be small."""
 
 from __future__ import annotations
 
@@ -39,19 +44,17 @@ def curate_documents(
     allowed_langs: tuple = DEFAULT_ALLOWED_LANGS,
 ) -> DataFrame:
     """(id, keep, drop_reason) per document; drop_reason ∈
-    {exact_duplicate, near_duplicate, low_quality, bad_language, null}."""
+    {null_text, exact_duplicate, near_duplicate, low_quality, bad_language,
+    null}."""
     c = F.col(text_col)
 
-    # stage 1: exact-dup losers (everything but the smallest id per group)
+    # stage 1: exact-dup groups (fingerprint, survivor) joined back on the
+    # fingerprint — a doc is a loser iff its group has >1 member and it is
+    # not the survivor.  NULL fingerprints (null text) never join, so null
+    # docs fall through to the null_text reason below.
     fp = dedup.content_fingerprint(c)
-    groups = (
-        df.select(fp.alias("_fp"), F.col(id_col))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias("_keep_id"), F.collect_list(id_col).alias("_ids"))
-        .select(F.explode("_ids").alias(id_col), "_keep_id")
-        .where(F.col(id_col) != F.col("_keep_id"))
-        .select(id_col)
-        .withColumn("_exact_loser", F.lit(True))
+    groups = dedup.exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("fingerprint").alias("_fp"), F.col("survivor_id").alias("_keep_id")
     )
 
     # stage 2: near-dup losers (larger id of each verified pair)
@@ -66,12 +69,20 @@ def curate_documents(
     lang = textstats.lang_marker_id(c)
 
     out = (
-        df.select(F.col(id_col), quality.alias("_q"), lang.alias("_lang"))
-        .join(F.broadcast(groups), on=id_col, how="left")
-        .join(F.broadcast(near), on=id_col, how="left")
+        df.select(
+            F.col(id_col),
+            fp.alias("_fp"),
+            c.isNull().alias("_null_text"),
+            quality.alias("_q"),
+            lang.alias("_lang"),
+        )
+        .join(groups, on="_fp", how="left")
+        .join(near, on=id_col, how="left")
     )
     reason = (
-        F.when(F.col("_exact_loser"), "exact_duplicate")
+        F.when(F.col("_null_text"), "null_text")
+        .when(F.col("_keep_id").isNotNull() & (F.col(id_col) != F.col("_keep_id")),
+              "exact_duplicate")
         .when(F.col("_near_loser"), "near_duplicate")
         .when(~F.col("_q"), "low_quality")
         .when(~F.col("_lang").isin(*allowed_langs), "bad_language")

@@ -179,8 +179,10 @@ def minhash_lsh_pairs(
 
     Pipeline: signature (1 shuffle) → band explode → self-join on
     (band, band_key) → DISTINCT candidate pairs → exact verification joining
-    the shingle table twice, restricted to candidates (broadcast — the
-    candidate set is tiny relative to the corpus).  With H=12, b=4, r=3 the
+    the shingle table twice, restricted to candidates (plain equi-join on
+    the id — NO broadcast hint: on a duplicate-heavy crawl the candidate
+    set is O(corpus), which would OOM a forced broadcast; AQE still picks a
+    broadcast join at runtime when the set is actually small).  With H=12, b=4, r=3 the
     collision probability at j=0.8 is 1-(1-0.8^3)^4 ≈ 0.93 per pair and the
     final Jaccard filter removes false positives, so precision is exact and
     recall is the LSH guarantee.  All join keys are md5 strings → uniform →
@@ -209,7 +211,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = shingle_table(df, id_col, text_col, k)
-    return _verified_jaccard(sh, id_col, F.broadcast(cand), threshold)
+    return _verified_jaccard(sh, id_col, cand, threshold)
 
 
 def _verified_jaccard(
@@ -342,7 +344,7 @@ def _jaccard_prefix_filtered(
         .select(F.col(f"pa.{id_col}").alias("id_a"), F.col(f"pb.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _verified_jaccard(sh, id_col, F.broadcast(cand), threshold + 1e-6, cnt=cnt)
+    return _verified_jaccard(sh, id_col, cand, threshold + 1e-6, cnt=cnt)
 
 
 # --------------------------------------------------------------------------

@@ -7,16 +7,28 @@ unbounded stream the same "group rows into entities" shape needs managed
 per-key state.  This operator assembles per-user sessions (events closer
 than ``gap`` belong together) and emits each session exactly once:
 
-* sessions CLOSED by a later event in the same micro-batch are emitted
-  immediately;
-* the open tail session lives in the state store (a fixed-width 4-tuple per
-  user — bounded state) with an EVENT-TIME timeout at ``end + gap``: when
-  the watermark passes it, the session is emitted and state removed.
+* a session is emitted exactly once, as soon as the event-time WATERMARK
+  passes ``session_end + gap`` — from that point no in-lateness event can
+  extend or bridge it, so emission is final even for out-of-order arrivals
+  across micro-batches (any ``watermark`` delay is supported, not just the
+  zero-lateness default);
+* sessions not yet watermark-final stay in the state store as PARALLEL
+  ARRAYS of fixed-width summaries (start, end, n, total per session — no
+  event buffering), with an event-time timeout at the EARLIEST pending
+  ``end + gap`` so closed sessions flush in the no-data micro-batch that
+  follows a watermark advance.
 
-Scale: state per key is O(1) (no event buffering); the only shuffle is the
-groupBy(user) exchange Spark needs for key-local state anyway; skewed users
-cost one state row regardless of event count because sessions fold
-incrementally per batch.
+New events MERGE-FOLD into the pending session list (sorted by start, join
+anything within ``gap``), so an event earlier than an open session's start
+correctly lowers the start, and an event more than ``gap`` before it forms
+its own earlier session instead of being swallowed — the two cross-batch
+out-of-order hazards of a single-open-session fold.
+
+Scale: state per key is O(pending sessions), bounded by
+``watermark_delay / gap + 1`` (older sessions are flushed by watermark) —
+independent of event count, so skewed users cost a handful of 28-byte
+summaries; the only shuffle is the groupBy(user) exchange Spark needs for
+key-local state anyway.
 """
 
 from __future__ import annotations
@@ -31,14 +43,88 @@ SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"
 )
-# epoch-microsecond bounds + running aggregates — fixed width, no buffering
-STATE_SCHEMA = "start bigint, end bigint, n int, total double"
+# epoch-microsecond bounds + running aggregates per PENDING session, as
+# parallel arrays — fixed width per session, no event buffering
+STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, ns array<int>, totals array<double>"
+)
 
 _US_PER_MS = 1000
 
 
 def _micros(ts: pd.Timestamp) -> int:
     return int(ts.value // 1000)
+
+
+def _make_session_fn(ts_col: str, value_col: str, gap_seconds: int):
+    """The per-key state-transition function, exposed for direct unit tests
+    of the out-of-order / watermark cases (a fake GroupState drives it the
+    way the state store would across micro-batches)."""
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+
+        def row(s) -> tuple:
+            return (
+                user,
+                pd.Timestamp(s[0], unit="us"),
+                pd.Timestamp(s[1], unit="us"),
+                int(s[2]),
+                float(s[3]),
+            )
+
+        cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+
+        # pending sessions from state, as mutable [start, end, n, total] rows
+        if state.exists:
+            starts, ends, ns, totals = state.get
+            sessions = [list(t) for t in zip(starts, ends, ns, totals)]
+        else:
+            sessions = []
+
+        if not state.hasTimedOut:
+            # merge-fold the batch's events into the pending list: sort
+            # everything by start time, join any two items within `gap`.
+            # Handles events before an open session's start (lowers it) and
+            # events > gap before it (separate earlier session) — the two
+            # out-of-order cases a single-open-session fold gets wrong.
+            pdf = pd.concat(list(pdfs))
+            items = sessions + [
+                [_micros(pd.Timestamp(ts)), _micros(pd.Timestamp(ts)), 1,
+                 0.0 if pd.isna(val) else float(val)]
+                for ts, val in zip(pdf[ts_col], pdf[value_col])
+            ]
+            items.sort(key=lambda s: s[0])
+            sessions = []
+            for it in items:
+                if sessions and it[0] - sessions[-1][1] <= gap_us:
+                    cur = sessions[-1]
+                    cur[1] = max(cur[1], it[1])
+                    cur[2] += it[2]
+                    cur[3] += it[3]
+                else:
+                    sessions.append(it)
+
+        # a session is FINAL once the watermark passes end+gap: no
+        # in-lateness event can extend or bridge it any more
+        wm_ms = state.getCurrentWatermarkMs()
+        final = [s for s in sessions if s[1] // _US_PER_MS + gap_ms <= wm_ms]
+        pending = [s for s in sessions if s[1] // _US_PER_MS + gap_ms > wm_ms]
+
+        if pending:
+            state.update(tuple(zip(*pending)))
+            # flush the earliest pending session as soon as the watermark
+            # allows (strictly-greater than wm required by Spark — the
+            # pending filter above guarantees it)
+            state.setTimeoutTimestamp(min(s[1] for s in pending) // _US_PER_MS + gap_ms)
+        elif state.exists:
+            state.remove()
+        if final:
+            yield pd.DataFrame([row(s) for s in final], columns=cols)
+
+    return fn
 
 
 def sessionize_stream(
@@ -61,49 +147,7 @@ def sessionize_stream(
             "STATE_SCHEMA to string keys"
         )
 
-    gap_us = gap_seconds * 1_000_000
-
-    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        (user,) = key
-
-        def row(s) -> tuple:
-            return (
-                user,
-                pd.Timestamp(s[0], unit="us"),
-                pd.Timestamp(s[1], unit="us"),
-                int(s[2]),
-                float(s[3]),
-            )
-
-        cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
-
-        if state.hasTimedOut:
-            # watermark passed end+gap → the open session is final
-            closed = state.get
-            state.remove()
-            yield pd.DataFrame([row(closed)], columns=cols)
-            return
-
-        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
-        cur = list(state.get) if state.exists else None
-        out = []
-        for ts, val in zip(pdf[ts_col], pdf[value_col]):
-            t = _micros(pd.Timestamp(ts))
-            v = 0.0 if pd.isna(val) else float(val)
-            if cur is None:
-                cur = [t, t, 1, v]
-            elif t - cur[1] > gap_us:
-                out.append(row(cur))
-                cur = [t, t, 1, v]
-            else:
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += v
-        state.update(tuple(cur))
-        state.setTimeoutTimestamp(cur[1] // _US_PER_MS + gap_seconds * 1000)
-        if out:
-            yield pd.DataFrame(out, columns=cols)
-
+    fn = _make_session_fn(ts_col, value_col, gap_seconds)
     prepared = stream_df.select(
         F.col(user_col).cast("bigint").alias(user_col),
         F.col(ts_col).cast("timestamp").alias(ts_col),

@@ -74,6 +74,19 @@ def test_suggest_cde(d):
     assert d.suggest_cde("anything", "text") is None  # no text cdes
 
 
+def test_suggest_cde_tie_breaks_code_ascending():
+    # ADVICE r1: on a similarity tie, the SMALLEST code must win — the same
+    # order match_columns_distributed pins with cde_code.asc()
+    recs = [
+        {"mip_code": code, "mip_type": "real", "conceptPath": f"/x/{code}",
+         "mip_values": "0-10", "variable_lookup": "tievar", "enum_lookup": None}
+        for code in ("zeta", "alpha", "mid")
+    ]
+    d2 = CdeDict.from_records(recs)
+    # identical lookup lists → identical similarity for all three
+    assert d2.suggest_cde("tievar", "numerical", [0, 10]).code == "alpha"
+
+
 def test_suggest_replacements(d):
     repl = d.suggest_replacements("gender", ["Male", "WOMAN", "unknownthing"])
     assert ("Male", "M") in repl and ("WOMAN", "F") in repl

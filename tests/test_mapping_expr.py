@@ -120,6 +120,10 @@ def test_errors():
     with pytest.raises(ExpressionError):
         compile_expression("if(a == 1, 2, 3)", columns=["b"])
     compile_expression("if(a == 1, 2, 3)", columns=["a"])  # ok
+    # ADVICE r1: non-literal round scale is a clean ExpressionError
+    with pytest.raises(ExpressionError, match="integer literal"):
+        compile_expression("round(a, a + 1)", columns=["a"])
+    compile_expression("round(a, 2)", columns=["a"])  # literal scale ok
 
 
 def test_recode(spark):

@@ -2,6 +2,7 @@
 (lag+cumsum) oracle for all sessions closed within the stream; each user's
 open tail session stays in state (emitted only by event-time timeout)."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -68,6 +69,105 @@ def test_batch_sessionizer_shape(spark):
     out = {(r.user_id, r.n_events, r.total_value)
            for r in sessionize_batch(df, gap_seconds=GAP).collect()}
     assert out == {(1, 2, 3.0), (1, 1, 3.0), (2, 1, 5.0)}
+
+
+class _FakeState:
+    """Minimal GroupState double: value + watermark + timeout bookkeeping."""
+
+    def __init__(self, wm_ms=0):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm = wm_ms
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _run_batch(fn, state, events, wm_ms):
+    import pandas as pd
+
+    state._wm = wm_ms
+    state.hasTimedOut = False
+    pdf = pd.DataFrame(events, columns=["ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return list(fn((1,), iter([pdf]), state))
+
+
+def test_stream_fold_out_of_order_across_batches():
+    # ADVICE r1 (medium): with a nonzero watermark, a late in-lateness event
+    # must (a) lower the open session's start when it lands just before it,
+    # and (b) form its OWN earlier session when it lands > gap before it —
+    # both folds must match sessionize_batch on the union of events.
+    from dataqualitycontroltool_spark.streaming.sessionize import _make_session_fn
+
+    fn = _make_session_fn("ts", "value", gap_seconds=600)  # 10 min
+    st = _FakeState()
+
+    # batch 1: one event at 10:00 -> open session, nothing emitted (wm=0)
+    out = _run_batch(fn, st, [("2024-01-01 10:00:00", 1.0)], wm_ms=0)
+    assert out == [] and st.exists
+
+    # batch 2 (wm now 09:00-ish, far below): late event 09:58 -> merges and
+    # LOWERS the start; late event 09:30 -> > gap before -> separate session
+    out = _run_batch(
+        fn, st,
+        [("2024-01-01 09:58:00", 2.0), ("2024-01-01 09:30:00", 4.0)],
+        wm_ms=0,
+    )
+    assert out == []
+    starts, ends, ns, totals = st.get
+    assert len(starts) == 2
+    sess = sorted(zip(starts, ends, ns, totals))
+    assert pd.Timestamp(sess[0][0], unit="us") == pd.Timestamp("2024-01-01 09:30:00")
+    assert sess[0][2] == 1 and sess[0][3] == 4.0
+    assert pd.Timestamp(sess[1][0], unit="us") == pd.Timestamp("2024-01-01 09:58:00")
+    assert pd.Timestamp(sess[1][1], unit="us") == pd.Timestamp("2024-01-01 10:00:00")
+    assert sess[1][2] == 2 and sess[1][3] == 3.0
+
+    # timeout: watermark passes 09:30+gap but not 10:00+gap -> only the
+    # earlier session is emitted; the later one stays pending
+    st.hasTimedOut = True
+    wm = int(pd.Timestamp("2024-01-01 09:50:00").value // 1_000_000)
+    st._wm = wm
+    out = list(fn((1,), iter([]), st))
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    assert r.session_start == pd.Timestamp("2024-01-01 09:30:00")
+    assert r.n_events == 1 and r.total_value == 4.0
+    assert st.exists and len(st.get[0]) == 1
+    assert st.timeout_ms > wm
+
+
+def test_stream_fold_bridging_late_event():
+    # a late event can BRIDGE two pending sessions into one
+    from dataqualitycontroltool_spark.streaming.sessionize import _make_session_fn
+
+    fn = _make_session_fn("ts", "value", gap_seconds=600)
+    st = _FakeState()
+    _run_batch(fn, st, [("2024-01-01 09:00:00", 1.0), ("2024-01-01 09:18:00", 1.0)],
+               wm_ms=0)
+    assert len(st.get[0]) == 2  # 18 min apart -> two sessions
+    _run_batch(fn, st, [("2024-01-01 09:09:00", 1.0)], wm_ms=0)
+    starts, ends, ns, totals = st.get
+    assert len(starts) == 1 and ns[0] == 3 and totals[0] == 3.0
 
 
 def test_sessionize_rejects_string_user_ids(spark):
