@@ -198,21 +198,35 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+EMB_DIM = 64  # embeddings.parquet vector width (all SFs)
+
+
 def q_ann_topk_bucketed(spark, sf_dir):
-    """Sign-LSH bucketed top-5 (8-bit bucket key) — the 10^12-row scale path."""
+    """Sign-LSH bucketed top-5 (8-bit bucket key from SEEDED random
+    hyperplanes, inlined as literals on both engines) — the 10^12-row scale
+    path."""
     return similarity.bucketed_topk(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", ANN_QUERY_IDS, k=5
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        ANN_QUERY_IDS, k=5, dim=EMB_DIM,
     )
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF ANN (seeded k-means coarse quantizer, nprobe=2) — the
-    centroid-based scale path; rows-only check (float argmax cluster
-    assignment is not robustly SQL-replayable; exactness is pinned by the
-    full-probe==brute-force unit test instead)."""
+    """IVF ANN (nprobe=2) with FIXED, SQL-replayable centroids — the
+    normalized embeddings of vec_id 0..7 — so cluster assignment and probe
+    selection replay exactly in the DuckDB oracle (argmax ties pinned to
+    the lowest centroid id on both sides).  The seeded-k-means quantizer
+    path stays covered by the full-probe==brute-force unit test."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = np.stack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        ANN_QUERY_IDS, k=5, n_centroids=8, nprobe=2,
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, nprobe=2, centroids=C,
     )
 
 
@@ -485,6 +499,89 @@ def q_multimodal_image_features(spark, sf_dir):
     return similarity.brute_force_topk(emb, "vid", "embedding", qids, k=3)
 
 
+def q_connected_components_docs(spark, sf_dir):
+    """Transitive near-duplicate clusters: pointer-jumping connected
+    components over the MinHash-LSH pair graph — (id, comp) with comp = the
+    minimum reachable doc_id.  Oracle: recursive-CTE transitive closure."""
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+    return dedup.connected_components(pairs).select("id", "comp")
+
+
+def q_sessionize_batch_events(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the streaming operator, gap
+    6h) over events; the stream==batch pytest transfers this oracle's
+    guarantee to the applyInPandasWithState path."""
+    from dataqualitycontroltool_spark.streaming.sessionize import sessionize_batch
+
+    out = sessionize_batch(load_table(spark, sf_dir, "events"), gap_seconds=6 * 3600)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def _dicom_fixture(spark):
+    """Deterministic synthetic DICOM tree (no external data): one valid T1
+    sequence, one too-short, one with an invalid file, one low-resolution,
+    plus a non-DICOM file — every validation rule fires once."""
+    from dataqualitycontroltool_spark.sources import dicom as dcm
+
+    def tags(pid, study, series, inst, desc="T1 sagittal", px=("1.0", "1.0"),
+             drop=()):
+        t = {
+            "PatientID": pid, "StudyID": study, "SeriesNumber": series,
+            "InstanceNumber": inst, "SeriesDescription": desc,
+            "SliceLocation": f"{inst}.5", "SamplesPerPixel": 1,
+            "Rows": 256, "Columns": 256, "PixelSpacing": list(px),
+            "BitsAllocated": 16, "BitsStored": 12, "HighBit": 11,
+            "SeriesDate": "20240105", "PatientBirthDate": "19700101",
+            "ImageOrientationPatient": ["1", "0", "0", "0", "1", "0"],
+            "ImagePositionPatient": ["0", "0", str(inst)],
+            "SliceThickness": "1.0", "Manufacturer": "TestScanner",
+        }
+        for d in drop:
+            t.pop(d, None)
+        return t
+
+    rows = []
+    for i in range(45):
+        rows.append(("f1", f"a{i:03}.dcm", bytearray(dcm.encode_dicom(tags("P1", "ST1", 1, i)))))
+    for i in range(10):
+        rows.append(("f1", f"b{i:03}.dcm", bytearray(dcm.encode_dicom(tags("P1", "ST1", 2, i)))))
+    rows.append(("f1", "notes.txt", bytearray(b"not a dicom")))
+    for i in range(45):
+        drop = ("SliceLocation",) if i == 0 else ()
+        rows.append(("f2", f"c{i:03}.dcm",
+                     bytearray(dcm.encode_dicom(tags("P2", "ST2", 1, i, drop=drop)))))
+    for i in range(45):
+        rows.append(("f2", f"d{i:03}.dcm",
+                     bytearray(dcm.encode_dicom(tags("P2", "ST2", 2, i, px=("2.0", "2.0"))))))
+    return spark.createDataFrame(rows, "folder string, file string, content binary")
+
+
+def q_dicom_sequence_report(spark, sf_dir):
+    """S5+S9: binary DICOM decode → per-sequence consensus + MIP validation
+    (mridicom/mrisequence semantics) over the deterministic fixture tree.
+    The oracle is a pinned VALUES golden: the decode step has no SQL twin,
+    but the fixture is fully deterministic so the expected report rows ARE
+    the specification (reference-derived, see tests/test_dicom.py)."""
+    from dataqualitycontroltool_spark.sources import dicom as dcm
+
+    # the fixture is 146 files: 2 partitions (not defaultParallelism), and
+    # localCheckpoint the decoded headers — sequence_table references them
+    # several times (sizes/consensus/fallback) and would otherwise re-run
+    # the decode UDF per reference
+    headers = dcm.decode_headers(_dicom_fixture(spark).coalesce(2))
+    seq = dcm.sequence_table(headers.localCheckpoint())
+    return seq.select(
+        "folder", "PatientID", "StudyID", "SeriesNumber", "Slices",
+        "Invalid_dicoms", "SeriesDescription", "is_valid",
+        F.concat_ws("; ", "errors").alias("errors"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation summary of the documents table at sf0.001."""
     return q_validation_summary_documents(spark, "/root/testdata/sf0.001")
@@ -531,6 +628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_cascade_events": q_consensus_cascade_events,
         "curate_documents": q_curate_documents,
         "windowed_validation_events": q_windowed_validation_events,
+        "connected_components_docs": q_connected_components_docs,
+        "sessionize_batch_events": q_sessionize_batch_events,
+        "dicom_sequence_report": q_dicom_sequence_report,
     }
 
 
@@ -637,6 +737,22 @@ e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 """
+
+
+def _hyperplane_bucket_sql() -> str:
+    """The seeded sign-LSH bucket key as DuckDB SQL over the double vector
+    `v`: the SAME hyperplane constants similarity.sign_bucket inlines as
+    Catalyst literals (rounded to 6 decimals on both sides, so the dot
+    products are bit-identical double math)."""
+    from dataqualitycontroltool_spark.operators.similarity import hyperplanes
+
+    terms = []
+    for i, h in enumerate(hyperplanes(64, 8, 42)):
+        lit = "[" + ", ".join(repr(x) for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 def _scrub_sql_expr(col: str) -> str:
     from dataqualitycontroltool_spark.graft.scrub import scrub_sql
@@ -852,8 +968,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EMB_CTE},
             b AS (
               SELECT vec_id, v, nrm,
-                     {' + '.join(f"(CASE WHEN v[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)"
-                                 for i in range(8))} AS bucket
+                     {_hyperplane_bucket_sql()} AS bucket
               FROM n
             ),
             q AS (SELECT * FROM b WHERE vec_id < 8),
@@ -1171,5 +1286,120 @@ def oracle_sql() -> dict[str, str]:
                        x -> md5(x)),
                      'min') AS min_shingle_fp
             FROM t
+        """,
+        "ann_topk_ivf": f"""
+            WITH {_EMB_CTE},
+            c AS (SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cv
+                  FROM n WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT n.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.v, c.cv) / n.nrm DESC,
+                                  c.cid ASC) AS rk
+                FROM n CROSS JOIN c
+              ) WHERE rk = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, cid FROM (
+                SELECT n.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.v, c.cv) / n.nrm DESC,
+                                  c.cid ASC) AS rk
+                FROM n CROSS JOIN c WHERE n.vec_id < 8
+              ) WHERE rk <= 2
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.cid = p.cid
+              WHERE a.vec_id <> p.query_id
+            ),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos
+              FROM cand JOIN n q ON q.vec_id = cand.query_id
+                        JOIN n t ON t.vec_id = cand.neighbor_id
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM scored)
+            SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
+            FROM r WHERE rnk <= 5
+        """,
+        "connected_components_docs": f"""
+            WITH RECURSIVE {_SH_CTE},
+            mh AS (
+              SELECT doc_id, {_MINHASH_COLS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_ROWS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (
+              SELECT id_a, id_b, count(*) AS c
+              FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM common JOIN cnt ca ON ca.doc_id = id_a
+                          JOIN cnt cb ON cb.doc_id = id_b
+              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            )
+            SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+        """,
+        "sessionize_batch_events": """
+            WITH e AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     CAST(value AS DOUBLE) AS value
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sid AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS sid
+              FROM s
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS INT) AS n_events,
+                   round(sum(coalesce(value, 0)), 6) AS total_value
+            FROM sid GROUP BY user_id, sid
+        """,
+        # pinned VALUES golden: the binary DICOM decode has no SQL twin, but
+        # the fixture tree is fully deterministic, so the expected report
+        # rows ARE the spec (derived from reference semantics, see
+        # tests/test_dicom.py which checks the same rows operator-by-operator)
+        "dicom_sequence_report": """
+            SELECT * FROM (VALUES
+              ('f1', 'P1', 'ST1', '1', 45, 0, 'T1 sagittal', TRUE, ''),
+              ('f1', 'P1', 'ST1', '2', 10, 0, 'T1 sagittal', FALSE,
+               'minimum number of slices failure'),
+              ('f2', 'P2', 'ST2', '1', 45, 1, 'T1 sagittal', FALSE,
+               'contains invalid dicom files'),
+              ('f2', 'P2', 'ST2', '2', 45, 0, 'T1 sagittal', FALSE,
+               'maximum resolution failure')
+            ) AS t(folder, PatientID, StudyID, SeriesNumber, Slices,
+                   Invalid_dicoms, SeriesDescription, is_valid, errors)
         """,
     }

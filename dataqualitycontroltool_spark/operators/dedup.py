@@ -420,6 +420,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     token_hash: str = "md5",
+    cache: bool = True,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming:
     (id_a, id_b, hamming).
@@ -429,12 +430,24 @@ def simhash_pairs(
     at least one band (pigeonhole), so for max_hamming <= bands-1 this plan
     is EXACT while joining on narrow integer keys instead of an O(n²) scan.
 
-    The fingerprint table is persisted before the self-join: both join
-    branches and the hamming projection reference ``simhash``, and without a
-    materialization barrier Catalyst re-inlines the (expensive) fingerprint
-    expression into every reference site.  The persisted table is tiny —
-    (id, long) per doc."""
-    sh = simhash_table(df, id_col, text_col, token_hash).persist()
+    Both join branches reference the (expensive) fingerprint expression and
+    Catalyst re-inlines it into each, so without a barrier the fingerprint
+    computes TWICE.  Cache lifecycle is the CALLER'S contract (round-1
+    review — the persist was never unpersisted):
+
+    * ``cache=True`` (default): persist the tiny (id, long) fingerprint
+      table — 2× faster (measured 4.7s vs 9.5s at sf0.1); the caller owns
+      the cache (``spark.catalog.clearCache()`` or session teardown).  A
+      repartition barrier was measured as a no-cache alternative and did
+      NOT get exchange reuse (both branches recomputed).
+    * ``cache=False``: no persist, no leftover state — the fingerprint
+      scan runs once per branch (pure CPU, embarrassingly parallel).
+      Prefer this at 10^12 rows, where pinning H bytes/doc across the
+      cluster costs more than recomputing a hash scan, together with the
+      ``token_hash='xxhash64'`` fast path."""
+    sh = simhash_table(df, id_col, text_col, token_hash)
+    if cache:
+        sh = sh.persist()
     return banded_hamming_pairs(sh, id_col, "simhash", max_hamming, bands, SIMHASH_BITS)
 
 
@@ -518,6 +531,17 @@ def connected_components(
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint()
+    # size the iteration parallelism from the ACTUAL edge count (known for
+    # free — the checkpoint above already materialized it): a near-dup
+    # graph is usually orders of magnitude smaller than the corpus, and
+    # iterating a 256-edge graph across 32-partition shuffles is pure
+    # stage-scheduling overhead (measured 5.1s → ~1s at sf0.1); huge
+    # graphs keep full parallelism at ~1M edges/partition.
+    n_edges = sym.count()
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(parallelism, n_edges // 1_000_000 + 1))
+    if target < parallelism:
+        sym = sym.repartition(target, "src").localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))

@@ -168,15 +168,46 @@ def cosine_pairs_blocked(
     return pairs.mapInPandas(gen, "id_a long, id_b long, cos double")
 
 
-def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
-    """Deterministic LSH bucket: sign bits of the first ``n_bits`` dimensions,
-    packed into an int.  (Random-hyperplane LSH with axis-aligned planes —
-    deterministic and engine-portable; at production scale swap in seeded
-    dense hyperplanes broadcast to executors, same plan shape.)"""
-    bits = [
-        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_bits)
-    ]
+def hyperplanes(dim: int, n_bits: int = 8, seed: int = 42) -> list[list[float]]:
+    """Seeded random-hyperplane directions for sign-LSH, as plain Python
+    lists (rounded to 6 decimals so the same constants inline exactly into
+    Spark literals and oracle SQL): ``n_bits`` standard-normal vectors of
+    length ``dim`` from numpy's seeded default_rng."""
+    import numpy as np
+
+    H = np.random.default_rng(seed).standard_normal((n_bits, dim))
+    return [[round(float(x), 6) for x in row] for row in H]
+
+
+def sign_bucket(
+    vec_col: Column, n_bits: int = 8, dim: int | None = None, seed: int = 42
+) -> Column:
+    """Deterministic sign-LSH bucket key, packed into an int.
+
+    With ``dim`` set (the production path): bit i = sign of the dot product
+    with a SEEDED dense hyperplane (:func:`hyperplanes`) — random-hyperplane
+    LSH whose collision probability is 1 - angle/pi per bit regardless of
+    how the embedding dimensions are distributed.  The planes inline as
+    Catalyst array literals, so the whole key is one codegen'd projection
+    (no UDF, no shuffle) and replays exactly in SQL engines (sequential-
+    fold dot product on both sides).
+
+    Without ``dim``: sign bits of the first ``n_bits`` dimensions — kept as
+    the zero-knowledge fallback, but embeddings with correlated leading
+    dimensions hash badly (round-1 review); prefer the seeded planes."""
+    if dim is not None:
+        planes = hyperplanes(dim, n_bits, seed)
+        bits = [
+            F.when(
+                dot(vec_col, F.array(*[F.lit(x) for x in h])) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, h in enumerate(planes)
+        ]
+    else:
+        bits = [
+            F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(n_bits)
+        ]
     out = F.lit(0)
     for b in bits:
         out = out + b
@@ -286,7 +317,9 @@ def ivf_topk(
     probe_rows = []
     for qid, v in qv.items():
         vn = v / max(np.linalg.norm(v), 1e-12)
-        for c in np.argsort(-(Cn @ vn))[:nprobe]:
+        # stable sort: probe-order ties break by LOWEST centroid index, the
+        # same order the SQL oracle pins with `cid ASC`
+        for c in np.argsort(-(Cn @ vn), kind="stable")[:nprobe]:
             probe_rows.append((qid, int(c)))
     probes = df.sparkSession.createDataFrame(probe_rows, f"{id_col} long, cluster int")
 
@@ -322,13 +355,18 @@ def bucketed_topk(
     query_ids: list,
     k: int = 5,
     n_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket.  Output (query_id, neighbor_id, cos, rank) — the recall/latency
     trade is 2^n_bits× fewer comparisons; the equi-join on the bucket key
     hash-partitions the corpus so each bucket is one co-located task
-    (md5-free integer key, uniform for zero-centered embeddings)."""
-    e = _prepared(df, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("v"), n_bits))
+    (md5-free integer key, uniform for zero-centered embeddings).  Pass
+    ``dim`` to bucket with seeded hyperplanes (see :func:`sign_bucket`)."""
+    e = _prepared(df, id_col, vec_col).withColumn(
+        "bucket", sign_bucket(F.col("v"), n_bits, dim=dim, seed=seed)
+    )
     q = e.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),

@@ -125,3 +125,110 @@ def write_corrected_csv(df: DataFrame, spec: TableSpec, path: str) -> None:
         .option("quoteAll", "true")
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 — HTML report sink
+# ---------------------------------------------------------------------------
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html>
+<head><meta charset="utf-8"><title>{{ dataset }} — QC report</title></head>
+<body>
+<h1>Quality Control Report</h1>
+<p>Dataset: <b>{{ dataset }}</b>{% if source %} ({{ source }}){% endif %}</p>
+{% if date_run %}<p>Run: <b>{{ date_run }}</b></p>{% endif %}
+<p>Total rows: <b>{{ general.total_rows }}</b> —
+   columns: <b>{{ general.total_columns }}</b> —
+   fields checked: <b>{{ general.fields_checked }}</b> —
+   total violations: <b>{{ general.total_violations }}</b></p>
+
+<h2>Row statistics</h2>
+<table border="1">
+<tr><th>kind</th><th>key</th><th>rows</th><th>%</th></tr>
+{% for r in row_stats %}
+<tr><td>{{ r.kind }}</td><td>{{ r.key }}</td><td>{{ r.rows }}</td>
+    <td>{{ "%.2f" | format(100.0 * r.rows / general.total_rows) }}</td></tr>
+{% endfor %}
+</table>
+
+<h2>Column statistics</h2>
+<table border="1">
+<tr>{% for c in column_cols %}<th>{{ c }}</th>{% endfor %}</tr>
+{% for r in column_stats %}
+<tr>{% for c in column_cols %}<td>{{ r[c] }}</td>{% endfor %}</tr>
+{% endfor %}
+</table>
+
+<h2>Cleaning suggestions</h2>
+<table border="1">
+<tr><th>field</th><th>value</th><th>suggestion</th><th>violation</th><th>n</th></tr>
+{% for r in corrections %}
+<tr><td>{{ r.field }}</td><td>{{ r.value }}</td><td>{{ r.suggestion }}</td>
+    <td>{{ r.violation }}</td><td>{{ r.n_occurrences }}</td></tr>
+{% endfor %}
+</table>
+</body>
+</html>
+"""
+
+
+def render_html_report(
+    tables: dict[str, DataFrame],
+    dataset: str,
+    source: str = "",
+    date_run: str | None = None,
+) -> str:
+    """S8 (tablereport.py:161-181 printpdf → jinja2 render): the HTML
+    report over the report tables — same section structure as the
+    reference's dataset_report template (header/run info, row completeness
+    and validation statistics with percentages, per-column statistics,
+    cleaning suggestions), own markup.  PDF (weasyprint) stays out of
+    scope per SURVEY §2.1 S8.
+
+    Driver-side by design: the inputs are the already-aggregated metric
+    tables (a handful of rows regardless of corpus size), so the collect
+    here is O(fields), never O(rows).  ``date_run`` is injected by the
+    caller (kept out of the default output so renders are deterministic
+    and diffable)."""
+    from jinja2 import Environment
+
+    general = tables["general"].collect()[0].asDict()
+    row_stats = sorted(
+        (r.asDict() for r in tables["row_stats"].collect()),
+        key=lambda r: (r["kind"], str(r["key"])),
+    )
+    column_df = tables["column_stats"]
+    column_stats = sorted(
+        (r.asDict() for r in column_df.collect()),
+        key=lambda r: str(r.get("field")),
+    )
+    corrections = sorted(
+        (r.asDict() for r in tables["corrections"].collect()),
+        key=lambda r: (r["field"], str(r["value"])),
+    )
+    env = Environment(autoescape=True)
+    return env.from_string(_HTML_TEMPLATE).render(
+        dataset=dataset,
+        source=source,
+        date_run=date_run,
+        general=general,
+        row_stats=row_stats,
+        column_cols=column_df.columns,
+        column_stats=column_stats,
+        corrections=corrections,
+    )
+
+
+def write_html_report(
+    df: DataFrame,
+    spec: TableSpec,
+    path: str,
+    dataset: str,
+    source: str = "",
+    date_run: str | None = None,
+) -> None:
+    """Validate + aggregate + render + write the HTML report to ``path``."""
+    html = render_html_report(report_tables(df, spec), dataset, source, date_run)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(html)

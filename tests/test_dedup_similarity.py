@@ -218,3 +218,57 @@ def test_blocked_cosine_rejects_string_ids(spark):
     df = spark.createDataFrame([("a", [1.0, 0.0])], "img string, v array<double>")
     with pytest.raises(TypeError, match="integral id"):
         similarity.cosine_pairs_blocked(df, "img", "v")
+
+
+def test_sign_bucket_hyperplanes_survive_correlated_dims(spark):
+    """Round-1 review: axis-aligned sign bits degenerate when the leading
+    dimensions share a sign (every vector lands in one bucket — no
+    pruning).  Seeded hyperplanes must (a) keep near-duplicate pairs
+    co-bucketed (recall) and (b) actually spread a correlated corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        base = rng.standard_normal(64)
+        base[:8] = np.abs(base[:8])  # leading dims all-positive (correlated)
+        for j in range(2):  # pairs of tight near-duplicates
+            v = base + 0.01 * rng.standard_normal(64)
+            rows.append((i * 2 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def buckets(**kw):
+        return {r.vec_id: r.b for r in df.select(
+            "vec_id", similarity.sign_bucket(F.col("embedding"), 8, **kw).alias("b")
+        ).collect()}
+
+    axis = buckets()
+    planes = buckets(dim=64)
+    # (a) recall: each near-dup pair shares its hyperplane bucket (tight
+    # pairs flip a sign only if a dot sits within 0.01·||h|| of zero)
+    co = sum(planes[2 * i] == planes[2 * i + 1] for i in range(200)) / 200
+    assert co >= 0.9
+    # (b) spread: axis-aligned collapses to a handful of buckets (only the
+    # 0.01 noise can flip a leading sign); hyperplanes keep many
+    assert len(set(axis.values())) <= 8
+    assert len(set(planes.values())) >= 50
+
+
+def test_simhash_pairs_cache_contract(docs):
+    # round-1 review: cache lifecycle is explicit — cache=False must not
+    # grow the set of persistent RDDs, and both modes agree on results.
+    # (the ContextCleaner may drop OLD entries asynchronously, so compare
+    # id sets, not counts)
+    spark = docs.sparkSession
+    jsc = spark.sparkContext._jsc.sc()
+
+    def ids():
+        return set(jsc.getPersistentRDDs().keys().mkString(",").split(","))
+
+    cached = {tuple(r) for r in dedup.simhash_pairs(docs, "id", "text").collect()}
+    spark.catalog.clearCache()
+    before = ids()
+    got = {tuple(r) for r in
+           dedup.simhash_pairs(docs, "id", "text", cache=False).collect()}
+    assert ids() <= before
+    assert got == cached

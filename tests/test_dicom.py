@@ -1,0 +1,155 @@
+"""DICOM ingest (S5) + report set (S9): the built-in header parser round-
+trips the fixture writer; tag checks, sequence consensus/validation, and
+the five report shapes match reference semantics (mridicom.py:100-121,
+mrisequence.py:122-183, dicomreport.py:111-259) on a synthetic tree."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.sources import dicom as dcm
+
+
+def _slice_tags(pid, study, series, inst, desc="T1 sagittal", px=("1.0", "1.0"),
+                thick="1.0", drop=(), date="20240105"):
+    tags = {
+        "PatientID": pid, "StudyID": study, "SeriesNumber": series,
+        "InstanceNumber": inst, "SeriesDescription": desc,
+        "SliceLocation": f"{inst}.5", "SamplesPerPixel": 1,
+        "Rows": 256, "Columns": 256, "PixelSpacing": list(px),
+        "BitsAllocated": 16, "BitsStored": 12, "HighBit": 11,
+        "SeriesDate": date, "PatientBirthDate": "19700101",
+        "ImageOrientationPatient": ["1", "0", "0", "0", "1", "0"],
+        "ImagePositionPatient": ["0", "0", str(inst)],
+        "SliceThickness": thick, "Manufacturer": "TestScanner",
+    }
+    for t in drop:
+        tags.pop(t, None)
+    return tags
+
+
+def test_parser_roundtrip_and_multivalue():
+    data = dcm.encode_dicom(_slice_tags("p1", "s1", 3, 7))
+    tags = dcm.parse_dicom_header(data)
+    assert tags["PatientID"] == "p1"
+    assert tags["SeriesNumber"] == "3"
+    assert tags["InstanceNumber"] == "7"
+    assert tags["Rows"] == "256"                    # binary US VR
+    assert tags["PixelSpacing"] == "[1.0, 1.0]"     # pydicom-style multivalue
+    assert tags["StudyDate"] == dcm.NOT_FOUND
+    assert dcm.parse_dicom_header(b"not a dicom file at all") is None
+
+
+def test_missing_tags_required_and_oneoftwo():
+    full = dcm.parse_dicom_header(dcm.encode_dicom(_slice_tags("p", "s", 1, 1)))
+    assert dcm._missing_tags(full) == []
+    # drop a required tag
+    nolo = dcm.parse_dicom_header(
+        dcm.encode_dicom(_slice_tags("p", "s", 1, 1, drop=("SliceLocation",))))
+    assert dcm._missing_tags(nolo) == ["SliceLocation"]
+    # drop BOTH of a one-of-two pair -> both reported (mridicom.py:106-114)
+    nodate = dcm.parse_dicom_header(dcm.encode_dicom(
+        _slice_tags("p", "s", 1, 1, drop=("PatientBirthDate",))))
+    assert dcm._missing_tags(nodate) == ["PatientAge", "PatientBirthDate"]
+    # one of the pair present -> fine
+    assert "SeriesDate" not in dcm._missing_tags(full)
+
+
+@pytest.fixture(scope="module")
+def tree(spark, tmp_path_factory):
+    """folder1: seq1 valid (45 T1 slices), seq2 too-few-slices, a garbage
+    file; folder2: seq with one invalid dicom, seq with bad resolution."""
+    rows = []
+
+    def add(folder, fname, tags):
+        rows.append((folder, fname, bytearray(dcm.encode_dicom(tags))))
+
+    for i in range(45):
+        add("folder1", f"a{i:03}.dcm", _slice_tags("P1", "ST1", 1, i))
+    for i in range(10):
+        add("folder1", f"b{i:03}.dcm", _slice_tags("P1", "ST1", 2, i))
+    rows.append(("folder1", "notes.txt", bytearray(b"just some text")))
+    for i in range(45):
+        drop = ("SliceLocation",) if i == 0 else ()
+        add("folder2", f"c{i:03}.dcm", _slice_tags("P2", "ST2", 1, i, drop=drop))
+    for i in range(45):
+        add("folder2", f"d{i:03}.dcm",
+            _slice_tags("P2", "ST2", 2, i, px=("2.0", "2.0")))
+    return spark.createDataFrame(rows, "folder string, file string, content binary")
+
+
+def test_sequence_table(spark, tree):
+    seq = {(r.folder, r.PatientID, r.StudyID, r.SeriesNumber): r
+           for r in dcm.sequence_table(dcm.decode_headers(tree)).collect()}
+    ok = seq[("folder1", "P1", "ST1", "1")]
+    assert ok.is_valid and ok.Slices == 45 and ok.errors == []
+    assert ok.SeriesDescription == "T1 sagittal"
+    assert ok.PixelSpacing == "[1.0, 1.0]"
+
+    short = seq[("folder1", "P1", "ST1", "2")]
+    assert not short.is_valid
+    assert short.errors == ["minimum number of slices failure"]
+
+    withbad = seq[("folder2", "P2", "ST2", "1")]
+    assert withbad.Invalid_dicoms == 1
+    assert withbad.errors == ["contains invalid dicom files"]
+
+    lowres = seq[("folder2", "P2", "ST2", "2")]
+    assert lowres.errors == ["maximum resolution failure"]
+
+
+def test_report_tables(spark, tree):
+    reps = dcm.dicom_report_tables(dcm.decode_headers(tree))
+
+    vs = reps["validsequences"].collect()
+    assert [r.asDict() for r in vs] == [{
+        "PatientID": "P1", "StudyId": "ST1", "SeriesNumber": "1",
+        "Slices": 45, "SeriesDescription": "T1 sagittal",
+        "SeriesDate": "20240105"}]
+
+    inv = {(r.PatientID, r.SeriesNumber): r
+           for r in reps["invalidsequences"].collect()}
+    assert set(inv) == {("P1", "2"), ("P2", "1"), ("P2", "2")}
+    r = inv[("P1", "2")]
+    assert r.Error_1 == "minimum number of slices failure" and r.Error_2 is None
+    assert r.Invalid_dicoms == 0 and r.Slices == 10
+
+    bad = reps["invaliddicoms"].collect()
+    assert len(bad) == 1
+    assert (bad[0].Folder, bad[0].File) == ("folder2", "c000.dcm")
+    assert bad[0].MissingTags == "SliceLocation"
+    assert bad[0].InstanceNumber == "0"
+
+    notp = [(r.Folder, r.File) for r in reps["notprocessed"].collect()]
+    assert notp == [("folder1", "notes.txt")]
+
+    visits = [r.asDict() for r in reps["mri_visits"].collect()]
+    assert visits == [{"PATIENT_ID": "P1", "VISIT_ID": "ST1",
+                       "VISIT_DATE": "05/01/2024"}]
+
+
+def test_consensus_falls_back_to_invalid_dicoms(spark):
+    # a sequence whose every dicom is invalid still gets consensus data
+    # from them (mrisequence.py:170-173)
+    rows = [("f", f"x{i}.dcm",
+             bytearray(dcm.encode_dicom(
+                 _slice_tags("P9", "ST9", 1, i, drop=("SliceLocation",)))))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "folder string, file string, content binary")
+    seq = dcm.sequence_table(dcm.decode_headers(df)).collect()
+    assert len(seq) == 1
+    assert seq[0].SeriesDescription == "T1 sagittal"
+    assert seq[0].Invalid_dicoms == 3
+    assert "contains invalid dicom files" in seq[0].errors
+
+
+def test_consensus_tie_break_pinned(spark):
+    # 2 vs 1 values -> majority wins; exact tie -> smallest value (the
+    # reference's max(set, key=count) is insertion-order-dependent; we pin)
+    rows = []
+    for i, mfr in enumerate(["Aaa", "Bbb", "Bbb", "Ccc"]):
+        t = _slice_tags("P", "S", 1, i)
+        t["Manufacturer"] = mfr
+        rows.append(("f", f"m{i}.dcm", bytearray(dcm.encode_dicom(t))))
+    df = spark.createDataFrame(rows, "folder string, file string, content binary")
+    seq = dcm.sequence_table(dcm.decode_headers(df)).collect()[0]
+    assert seq.Manufacturer == "Bbb"

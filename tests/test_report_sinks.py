@@ -77,3 +77,28 @@ def test_write_report_parquet(spark, df, tmp_path):
     reports.write_report(df, SPEC, str(tmp_path / "rep"))
     cs = spark.read.parquet(str(tmp_path / "rep" / "column_stats"))
     assert {r.field for r in cs.collect()} == {"code", "n"}
+
+
+def test_html_report_sections_and_values(df, tmp_path):
+    # S8: HTML render of the metric tables (tablereport.py:161-181 section
+    # structure: header, row completeness/validation stats with
+    # percentages, column stats, cleaning suggestions)
+    out = str(tmp_path / "report.html")
+    reports.write_html_report(df, SPEC, out, dataset="mytable.csv",
+                              source="/data/mytable.csv",
+                              date_run="01/01/2024 10:00:00")
+    html = open(out).read()
+    for section in ["Quality Control Report", "Row statistics",
+                    "Column statistics", "Cleaning suggestions"]:
+        assert section in html
+    assert "mytable.csv" in html and "01/01/2024 10:00:00" in html
+    assert "<b>7</b>" in html            # total_rows
+    # a row_stats percentage: 2 of 7 rows fully valid -> 28.57
+    assert "28.57" in html
+    # correction suggestion row rendered
+    assert "Ab" in html and "AA" in html
+    # deterministic: re-render without date equals itself
+    t = reports.report_tables(df, SPEC)
+    a = reports.render_html_report(t, "mytable.csv")
+    b = reports.render_html_report(reports.report_tables(df, SPEC), "mytable.csv")
+    assert a == b and "Run:" not in a
