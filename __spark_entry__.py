@@ -499,6 +499,21 @@ def q_multimodal_image_features(spark, sf_dir):
     return similarity.brute_force_topk(emb, "vid", "embedding", qids, k=3)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style cluster-then-prune over the embeddings table: fixed
+    centroids (normalized embeddings of vec_id 0..7, same as the IVF
+    oracle), within-cluster cosine >= 0.45 drops the larger id."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = np.stack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return similarity.semantic_dedup(emb, "vec_id", "embedding", C, threshold=0.45)
+
+
 def q_connected_components_docs(spark, sf_dir):
     """Transitive near-duplicate clusters: pointer-jumping connected
     components over the MinHash-LSH pair graph — (id, comp) with comp = the
@@ -631,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_docs": q_connected_components_docs,
         "sessionize_batch_events": q_sessionize_batch_events,
         "dicom_sequence_report": q_dicom_sequence_report,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -1325,6 +1341,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
             FROM r WHERE rnk <= 5
+        """,
+        "dedup_semantic": f"""
+            WITH {_EMB_CTE},
+            c AS (SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cv
+                  FROM n WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT n.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.v, c.cv) / n.nrm DESC,
+                                  c.cid ASC) AS rk
+                FROM n CROSS JOIN c
+              ) WHERE rk = 1
+            ),
+            losers AS (
+              SELECT DISTINCT b.vec_id
+              FROM assign a JOIN assign b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN n na ON na.vec_id = a.vec_id
+              JOIN n nb ON nb.vec_id = b.vec_id
+              WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+                    >= 0.45
+            )
+            SELECT assign.vec_id, CAST(assign.cid AS INT) AS cluster,
+                   losers.vec_id IS NULL AS keep
+            FROM assign LEFT JOIN losers ON losers.vec_id = assign.vec_id
         """,
         "connected_components_docs": f"""
             WITH RECURSIVE {_SH_CTE},

@@ -304,14 +304,7 @@ def ivf_topk(
         df, vec_col, k=n_centroids, id_col=id_col
     )
     Cn = np.asarray(C, dtype=np.float64)
-
-    @F.pandas_udf(T.IntegerType())
-    def assign_udf(vs: pd.Series) -> pd.Series:
-        M = np.stack(vs.map(np.asarray).to_numpy()).astype(np.float64)
-        M = M / np.linalg.norm(M, axis=1, keepdims=True).clip(min=1e-12)
-        return pd.Series((M @ Cn.T).argmax(axis=1).astype(np.int32))
-
-    e = _prepared(df, id_col, vec_col).withColumn("cluster", assign_udf(F.col("v")))
+    e = cluster_assign(_prepared(df, id_col, vec_col), Cn)
     qv = {r[0]: np.asarray(r[1], dtype=np.float64)
           for r in df.where(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()}
     probe_rows = []
@@ -345,6 +338,72 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cluster_assign(prepared: DataFrame, Cn: "np.ndarray") -> DataFrame:
+    """Nearest-centroid assignment for a ``_prepared`` frame: adds an int
+    ``cluster`` column.  Arrow-batched pandas UDF with the (tiny) centroid
+    matrix in the closure — one argmax matmul per batch, numpy/BLAS speed;
+    argmax ties break to the LOWEST centroid index (numpy first-max), the
+    order the SQL oracles pin with ``cid ASC``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.map(np.asarray).to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True).clip(min=1e-12)
+        return pd.Series((M @ Cn.T).argmax(axis=1).astype(np.int32))
+
+    return prepared.withColumn("cluster", assign_udf(F.col("v")))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune, a
+    standard published recipe for web-scale training corpora): assign every
+    embedding to its nearest centroid, compare pairs ONLY within a cluster,
+    and drop the larger id of any pair with cosine >= threshold.  Output
+    (id, cluster, keep).
+
+    Scale shape: the pairwise work is confined to clusters — O(Σ (n_k)²)
+    instead of O(n²), with k chosen so n/k fits a task; the within-cluster
+    self-join is an equi-join on the int cluster id (hash-partitioned,
+    balanced for a balanced quantizer — re-split oversized clusters by
+    recursing on their members at production scale).  Cosine math and
+    keep-smallest tie-breaks replay exactly in the SQL oracle when the
+    centroids are fixed (see __spark_entry__ `dedup_semantic`)."""
+    import numpy as np
+
+    e = cluster_assign(_prepared(df, id_col, vec_col), np.asarray(centroids, dtype=np.float64))
+    a = e.select(
+        F.col("cluster"), F.col(id_col).alias("_ida"),
+        F.col("v").alias("_va"), F.col("norm").alias("_na"),
+    )
+    b = e.select(
+        F.col("cluster"), F.col(id_col).alias("_idb"),
+        F.col("v").alias("_vb"), F.col("norm").alias("_nb"),
+    )
+    cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    losers = (
+        a.join(b, on="cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cos >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_loser", F.lit(True))
+    )
+    return (
+        e.select(id_col, "cluster")
+        .join(losers, on=id_col, how="left")
+        .select(id_col, "cluster", F.col("_loser").isNull().alias("keep"))
     )
 
 

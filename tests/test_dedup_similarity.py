@@ -272,3 +272,27 @@ def test_simhash_pairs_cache_contract(docs):
            dedup.simhash_pairs(docs, "id", "text", cache=False).collect()}
     assert ids() <= before
     assert got == cached
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    # SemDeDup semantics: duplicates sharing a cluster drop the larger id;
+    # near-identical vectors split across clusters are NOT compared (the
+    # documented trade of cluster-then-prune)
+    import numpy as np
+
+    c0 = np.array([1.0, 0.0, 0.0, 0.0])
+    c1 = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = [
+        (10, [1.0, 0.05, 0.0, 0.0]),   # cluster 0
+        (11, [1.0, 0.06, 0.0, 0.0]),   # cluster 0, ~identical to 10 -> drop
+        (12, [0.9, 0.01, 0.4, 0.0]),   # cluster 0, dissimilar enough
+        (20, [0.05, 1.0, 0.0, 0.0]),   # cluster 1
+        (21, [0.06, 1.0, 0.0, 0.0]),   # cluster 1, ~identical to 20 -> drop
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.keep) for r in
+           similarity.semantic_dedup(df, "vec_id", "embedding",
+                                     np.stack([c0, c1]), threshold=0.98).collect()}
+    assert out[10] == (0, True) and out[11] == (0, False)
+    assert out[12][0] == 0 and out[12][1] is True
+    assert out[20] == (1, True) and out[21] == (1, False)
