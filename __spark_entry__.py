@@ -514,6 +514,23 @@ def q_dedup_semantic(spark, sf_dir):
     return similarity.semantic_dedup(emb, "vec_id", "embedding", C, threshold=0.45)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line fraction, top-bigram
+    mass) — the repetition leg of the quality gate."""
+    return textstats.repetition_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 8-token
+    shingle with the 'benchmark' slice (doc_id % 50 == 0 — a deterministic
+    stand-in for an eval set).  One shingle equi-join, no broadcast hint."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return dedup.decontamination_flags(docs, bench, "doc_id", "text", k=8)
+
+
 def q_connected_components_docs(spark, sf_dir):
     """Transitive near-duplicate clusters: pointer-jumping connected
     components over the MinHash-LSH pair graph — (id, comp) with comp = the
@@ -647,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch_events": q_sessionize_batch_events,
         "dicom_sequence_report": q_dicom_sequence_report,
         "dedup_semantic": q_dedup_semantic,
+        "decontaminate_documents": q_decontaminate_documents,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1342,6 +1361,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
             FROM r WHERE rnk <= 5
         """,
+        "text_repetition": r"""
+            WITH lines AS (
+              SELECT doc_id,
+                     [x for x in string_split(text, chr(10)) if trim(x) != ''] AS ls
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(ls) AS n_lines,
+                     CASE WHEN len(ls) > 0
+                          THEN round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls), 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM lines
+            ),
+            tok AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS gram
+              FROM tok WHERE len(toks) >= 2
+            ),
+            pg AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id, round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
+              FROM pg GROUP BY 1
+            )
+            SELECT base.doc_id, CAST(n_lines AS INT) AS n_lines, dup_line_frac,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM base LEFT JOIN pd ON pd.doc_id = base.doc_id
+        """,
+        "decontaminate_documents": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            sh8 AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 6),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4]
+                            || ' ' || toks[i+5] || ' ' || toks[i+6]
+                            || ' ' || toks[i+7])) AS shingle
+              FROM tok WHERE len(toks) >= 8
+            ),
+            bsh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT s.doc_id, count(*) AS n
+              FROM sh8 s JOIN bsh USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT) AS n_overlap,
+                   coalesce(hits.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+        """,
         "dedup_semantic": f"""
             WITH {_EMB_CTE},
             c AS (SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cv
@@ -1427,6 +1502,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_events,
                    round(sum(coalesce(value, 0)), 6) AS total_value
             FROM sid GROUP BY user_id, sid
+        """,
+        # pinned VALUES golden: the image codec path has no SQL twin, but
+        # the synthetic batch (seed 42) and block-mean features are fully
+        # deterministic (verified: two independent runs produce identical
+        # rows; ranking ties at 6 decimals break by neighbor_id ascending),
+        # so the expected top-3 rows ARE the spec
+        "multimodal_image_features": """
+            SELECT query_id, neighbor_id, CAST(cos AS DOUBLE) AS cos,
+                   CAST(rank AS INT) AS rank
+            FROM (VALUES
+              (-3935540273100291955, 901145921115135718, 0.98455, 1),
+              (-3935540273100291955, -4828028533620169290, 0.981893, 2),
+              (-3935540273100291955, 2400261009366995973, 0.981856, 3),
+              (270102132368357668, -5735816544083265112, 0.977356, 1),
+              (270102132368357668, -3533924863889313969, 0.97108, 2),
+              (270102132368357668, -2143089236363039232, 0.969764, 3),
+              (2031237952976197850, 2000907208380158881, 0.999998, 1),
+              (2031237952976197850, 6636323190065753081, 0.999998, 2),
+              (2031237952976197850, 7002236087568307818, 0.999998, 3),
+              (7293735252013572727, 1213328989295720623, 0.988629, 1),
+              (7293735252013572727, 4069635291514073957, 0.98728, 2),
+              (7293735252013572727, 3957949020534582403, 0.985058, 3),
+              (8666302260683541950, -4499732116674518608, 0.986357, 1),
+              (8666302260683541950, -3533924863889313969, 0.983174, 2),
+              (8666302260683541950, -372234996828606012, 0.978805, 3)
+            ) AS t(query_id, neighbor_id, cos, rank)
         """,
         # pinned VALUES golden: the binary DICOM decode has no SQL twin, but
         # the fixture tree is fully deterministic, so the expected report

@@ -653,3 +653,56 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    k: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — the standard LLM-pipeline check that no
+    training document shares long n-grams with an evaluation set: per
+    corpus doc, the number of distinct k-token shingles also present in
+    ANY benchmark document, and a ``contaminated`` flag at
+    ``>= min_overlap`` shared shingles.  Output (id, n_overlap,
+    contaminated) — one row per corpus doc (0/false when clean).
+
+    Plan: both sides reduce to DISTINCT shingle sets per doc scan-side
+    (array_distinct before the explode), the benchmark side collapses to
+    the distinct shingle VOCABULARY (one hash-agg — the eval set is small
+    relative to the corpus, but no broadcast hint: AQE decides, and a
+    shuffle join on the uniform shingle text stays correct when someone
+    decontaminates against a huge held-out split), then one equi-join +
+    per-doc count.  Nothing is O(corpus × benchmark); the join fan-out is
+    Σ over shared shingles of df_corpus(s) — the same Σdf² shape as the
+    n-gram Jaccard plan, bounded by the benchmark vocabulary."""
+    bench_col = bench_text_col or text_col
+    bench_shingles = (
+        benchmark.select(F.explode(F.array_distinct(
+            shingles(F.col(bench_col), k))).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        shingle_table(corpus, id_col, text_col, k)
+        .join(bench_shingles, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

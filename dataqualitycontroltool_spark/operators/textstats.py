@@ -204,3 +204,53 @@ def fingerprint_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
         content_fingerprint(c).alias("content_fp"),
         min_fp.alias("min_shingle_fp"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: (id, n_lines,
+    dup_line_frac, top_bigram_frac) — repetitious web text (boilerplate,
+    listicles, SEO spam) shows high duplicate-line and top-n-gram mass
+    even when the length/alpha quality gates pass.
+
+    * ``dup_line_frac`` — 1 - distinct/total over non-blank lines; pure
+      per-row Catalyst (no shuffle).
+    * ``top_bigram_frac`` — occurrences of the most frequent token bigram
+      / total bigram occurrences; one explode + hash-aggregate per
+      (doc, bigram), max/sum recombined in the same aggregate pass over
+      the doc — the count table is pre-reduced map-side, so a skewed doc
+      (millions of tokens) shuffles one row per DISTINCT bigram, not per
+      token.
+    """
+    from dataqualitycontroltool_spark.operators.dedup import let, shingles
+
+    def line_stats(lines: Column) -> Column:
+        n = F.size(lines)
+        frac = F.round(
+            1.0 - F.size(F.array_distinct(lines)) / n, 6
+        )
+        return F.struct(
+            n.alias("n_lines"),
+            F.when(n > 0, frac).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        )
+
+    nonblank = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.trim(x) != ""
+    )
+    base = df.select(F.col(id_col), let(nonblank, line_stats).alias("_ls"))
+
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.round(F.max("_n") / F.sum("_n"), 6).alias("top_bigram_frac")
+    )
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("_ls.n_lines").alias("n_lines"),
+            F.col("_ls.dup_line_frac").alias("dup_line_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

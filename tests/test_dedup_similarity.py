@@ -296,3 +296,27 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert out[10] == (0, True) and out[11] == (0, False)
     assert out[12][0] == 0 and out[12][1] is True
     assert out[20] == (1, True) and out[21] == (1, False)
+
+
+def test_decontamination_flags(spark):
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "totally unrelated words that never appear in any benchmark doc"),
+        (3, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], "text string")
+    out = {r.doc_id: (r.n_overlap, r.contaminated) for r in
+           dedup.decontamination_flags(corpus, bench, "doc_id", "text", k=8)
+           .collect()}
+    # doc 1: contains the full benchmark 8-gram (and 2 more shifted ones
+    # that don't match) -> exactly 1 shared shingle
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    # doc 3: benchmark 8-gram embedded mid-document
+    assert out[3] == (1, True)
+    # higher threshold declares doc 1 clean
+    strict = {r.doc_id: r.contaminated for r in
+              dedup.decontamination_flags(corpus, bench, "doc_id", "text",
+                                          k=8, min_overlap=2).collect()}
+    assert strict[1] is False

@@ -161,3 +161,18 @@ def test_hamming_dedup_catches_near_dup_phashes(spark):
     d_ham = out_ham.where("is_dup").count()
     assert d_ham >= d_exact
     df.unpersist()
+
+
+def test_pipeline_accepts_legacy_index_without_n_members(spark, input_pdf):
+    # ADVICE r1: dedup indexes persisted before the n_members column existed
+    # must still work when passed as a pre-built `dedup` index (resume path)
+    from dataqualitycontroltool_spark.graft.pipeline import dedup_index
+
+    df = spark.createDataFrame(input_pdf, schema=synth.SCHEMA)
+    full = dedup_index(df)
+    legacy = full.drop("n_members")
+    a = run_pipeline(df, KeepDropConfig(), dedup=full).select(
+        "image_id", "keep", "drop_reason")
+    b = run_pipeline(df, KeepDropConfig(), dedup=legacy).select(
+        "image_id", "keep", "drop_reason")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

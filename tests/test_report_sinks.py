@@ -102,3 +102,34 @@ def test_html_report_sections_and_values(df, tmp_path):
     a = reports.render_html_report(t, "mytable.csv")
     b = reports.render_html_report(reports.report_tables(df, SPEC), "mytable.csv")
     assert a == b and "Run:" not in a
+
+
+def test_xlsx_report_valid_ooxml(df, tmp_path):
+    # S7: the four-sheet workbook written without openpyxl must be a valid
+    # zip of OOXML parts with the right sheet set and cell values
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from dataqualitycontroltool_spark.sinks import xlsx
+
+    out = str(tmp_path / "report.xlsx")
+    xlsx.write_xlsx_report(df, SPEC, out, dataset="mytable.csv")
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(out) as z:
+        assert set(z.namelist()) >= {
+            "[Content_Types].xml", "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml", "xl/worksheets/sheet4.xml"}
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
+        assert names == ["General", "Row Statistics", "Column Statistics",
+                         "Cleaning suggestions"]
+        s1 = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        texts = [t.text for t in s1.findall(".//m:is/m:t", ns)]
+        nums = [v.text for v in s1.findall(".//m:c[@t='']/m:v", ns)] or [
+            v.text for c in s1.findall(".//m:c", ns) if c.get("t") is None
+            for v in c.findall("m:v", ns)]
+        assert "mytable.csv" in texts and "total_rows" in texts
+        assert "7" in nums  # total_rows value
+        s4 = ET.fromstring(z.read("xl/worksheets/sheet4.xml"))
+        t4 = [t.text for t in s4.findall(".//m:is/m:t", ns)]
+        assert "Ab" in t4 and "AA" in t4  # the Levenshtein repair pair

@@ -135,3 +135,22 @@ def test_curate_documents_duplicate_heavy_skew(spark):
     for i in range(1, 500):
         assert res[i] == (False, "exact_duplicate"), i
     assert len(res) == 520
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "unique line one\nunique line two\nunique line three"),
+        (2, "same line\nsame line\nsame line\nsame line"),   # all dup lines
+        (3, "spam spam spam spam spam"),                     # one bigram
+        (4, "one"),                                          # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           textstats.repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_lines == 3 and out[1].dup_line_frac == 0.0
+    assert out[2].n_lines == 4 and out[2].dup_line_frac == 0.75
+    # doc 3: 4 bigram occurrences, all 'spam spam' -> frac 1.0
+    assert out[3].top_bigram_frac == 1.0
+    # doc 1: 'unique line' occurs 3x of 8 bigram occurrences -> 0.375
+    assert out[1].top_bigram_frac == 0.375
+    assert out[4].top_bigram_frac == 0.0 and out[4].n_lines == 1
