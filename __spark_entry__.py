@@ -1361,6 +1361,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
             FROM r WHERE rnk <= 5
         """,
+        # pinned VALUES golden for the sf0.01 tables (the correctness
+        # gate's scale): the guesser/resolver vote runs on a BOUNDED driver
+        # sample (first 100 rows of a single-file parquet — deterministic;
+        # verified identical across independent runs), and its per-pattern
+        # semantics are covered by the reference-derived goldens in
+        # tests/test_inference.py
+        "infer_schema_documents": """
+            SELECT * FROM (VALUES
+              ('doc_id', 'integer', 'integer'),
+              ('lang', 'nominal', 'string'),
+              ('n_chars', 'integer', 'integer'),
+              ('source', 'text', 'string')
+            ) AS t(field, miptype, ftype)
+        """,
         "text_repetition": r"""
             WITH lines AS (
               SELECT doc_id,
