@@ -201,6 +201,19 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 EMB_DIM = 64  # embeddings.parquet vector width (all SFs)
 
 
+def _fixed_centroids(emb):
+    """SQL-replayable centroids shared by the IVF and semantic-dedup
+    oracles: normalized embeddings of vec_id 0..7 (the oracles pin the
+    same set with `WHERE vec_id < 8` + per-vector normalization)."""
+    import numpy as np
+
+    C = np.stack([
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def q_ann_topk_bucketed(spark, sf_dir):
     """Sign-LSH bucketed top-5 (8-bit bucket key from SEEDED random
     hyperplanes, inlined as literals on both engines) — the 10^12-row scale
@@ -217,16 +230,10 @@ def q_ann_topk_ivf(spark, sf_dir):
     selection replay exactly in the DuckDB oracle (argmax ties pinned to
     the lowest centroid id on both sides).  The seeded-k-means quantizer
     path stays covered by the full-probe==brute-force unit test."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    C = np.stack([
-        np.asarray(r.embedding, dtype=np.float64)
-        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
     return similarity.ivf_topk(
-        emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, nprobe=2, centroids=C,
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, nprobe=2,
+        centroids=_fixed_centroids(emb),
     )
 
 
@@ -503,15 +510,10 @@ def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style cluster-then-prune over the embeddings table: fixed
     centroids (normalized embeddings of vec_id 0..7, same as the IVF
     oracle), within-cluster cosine >= 0.45 drops the larger id."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    C = np.stack([
-        np.asarray(r.embedding, dtype=np.float64)
-        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    return similarity.semantic_dedup(emb, "vec_id", "embedding", C, threshold=0.45)
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", _fixed_centroids(emb), threshold=0.45
+    )
 
 
 def q_text_repetition(spark, sf_dir):
@@ -1497,7 +1499,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                      CAST(value AS DOUBLE) AS value
-              FROM events
+              FROM events WHERE ts IS NOT NULL
             ),
             s AS (
               SELECT user_id, ts, value,

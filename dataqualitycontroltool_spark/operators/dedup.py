@@ -531,12 +531,14 @@ def connected_components(
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint()
-    # size the iteration parallelism from the ACTUAL edge count (known for
-    # free — the checkpoint above already materialized it): a near-dup
-    # graph is usually orders of magnitude smaller than the corpus, and
-    # iterating a 256-edge graph across 32-partition shuffles is pure
-    # stage-scheduling overhead (measured 5.1s → ~1s at sf0.1); huge
-    # graphs keep full parallelism at ~1M edges/partition.
+    # size the iteration parallelism from the ACTUAL edge count — one
+    # in-memory pass over the partitions the checkpoint above just
+    # materialized (cheap relative to the iterations, each of which scans
+    # the edges several times; NOT free).  A near-dup graph is usually
+    # orders of magnitude smaller than the corpus, and iterating a
+    # 256-edge graph across 32-partition shuffles is pure stage-scheduling
+    # overhead (measured 5.1s → ~1s at sf0.1); huge graphs keep full
+    # parallelism at ~1M edges/partition and skip the extra repartition.
     n_edges = sym.count()
     parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     target = max(1, min(parallelism, n_edges // 1_000_000 + 1))

@@ -366,6 +366,7 @@ def semantic_dedup(
     vec_col: str,
     centroids: "np.ndarray",
     threshold: float = 0.9,
+    cache: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-prune, a
     standard published recipe for web-scale training corpora): assign every
@@ -379,10 +380,18 @@ def semantic_dedup(
     balanced for a balanced quantizer — re-split oversized clusters by
     recursing on their members at production scale).  Cosine math and
     keep-smallest tie-breaks replay exactly in the SQL oracle when the
-    centroids are fixed (see __spark_entry__ `dedup_semantic`)."""
+    centroids are fixed (see __spark_entry__ `dedup_semantic`).
+
+    The assignment frame is referenced THREE times (both self-join sides +
+    the final projection); ``cache=True`` persists it so the pandas-UDF
+    argmax — the dominant per-row cost — runs once, with the same
+    caller-owned cache contract as ``dedup.simhash_pairs``; ``cache=False``
+    leaves no persistent state and recomputes per reference."""
     import numpy as np
 
     e = cluster_assign(_prepared(df, id_col, vec_col), np.asarray(centroids, dtype=np.float64))
+    if cache:
+        e = e.persist()
     a = e.select(
         F.col("cluster"), F.col(id_col).alias("_ida"),
         F.col("v").alias("_va"), F.col("norm").alias("_na"),

@@ -14,7 +14,7 @@ size); the distributed work happened in ``report_tables``.
 from __future__ import annotations
 
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 from pyspark.sql import DataFrame
 
@@ -76,8 +76,11 @@ def write_xlsx(sheets: dict[str, list[list]], path: str) -> None:
     """Write {sheet name: rows} as a valid .xlsx (zip of OOXML parts)."""
     sheet_entries, sheet_rels, overrides = [], [], []
     for i, name in enumerate(sheets, start=1):
+        # quoteattr, not escape: sheet names land in an XML attribute, and
+        # escape() leaves double quotes alone (a name with '"' would emit
+        # malformed workbook.xml)
         sheet_entries.append(
-            f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+            f'<sheet name={quoteattr(name)} sheetId="{i}" r:id="rId{i}"/>'
         )
         sheet_rels.append(
             f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'

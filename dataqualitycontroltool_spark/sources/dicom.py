@@ -187,8 +187,9 @@ def parse_dicom_header(data: bytes) -> dict[str, str] | None:
                 out[name] = str(el.value) if el is not None else NOT_FOUND
             except KeyError:
                 out[name] = NOT_FOUND
-        if all(v == NOT_FOUND for v in out.values()):
-            return None
+        # a readable dataset with none of our ~40 tags (e.g. a DICOMDIR
+        # directory record) is still a DICOM file — it must surface as an
+        # invalid dicom with missing tags, not land in notprocessed
         return out
     except ImportError:
         pass
@@ -198,12 +199,24 @@ def parse_dicom_header(data: bytes) -> dict[str, str] | None:
     pos = 132
     found: dict[str, str] = {}
     n = len(data)
+    # VR mode: the file-meta group (0002) is ALWAYS explicit VR little
+    # endian and carries TransferSyntaxUID (0002,0010); once it names
+    # implicit VR LE (1.2.840.10008.1.2 — the DICOM default syntax) the
+    # dataset elements are parsed implicitly.  Guessing per element from
+    # "two uppercase bytes" misreads implicit lengths whose low bytes both
+    # fall in A-Z (16705..23130-byte values) and desyncs the stream.
+    implicit_dataset = False
     while pos + 8 <= n:
         group, elem = struct.unpack_from("<HH", data, pos)
         if (group, elem) == (0x7FE0, 0x0010):  # pixel data — stop
             break
         vr_bytes = data[pos + 4:pos + 6]
-        explicit = all(0x41 <= b <= 0x5A for b in vr_bytes)
+        if group == 0x0002:
+            explicit = True
+        elif implicit_dataset:
+            explicit = False
+        else:
+            explicit = all(0x41 <= b <= 0x5A for b in vr_bytes)
         if explicit:
             vr = vr_bytes.decode("ascii")
             if vr_bytes in _LONG_VRS:
@@ -220,19 +233,24 @@ def parse_dicom_header(data: bytes) -> dict[str, str] | None:
             break
         if vpos + length > n:
             break
+        if (group, elem) == (0x0002, 0x0010):  # TransferSyntaxUID
+            uid = data[vpos:vpos + length].decode("ascii", "replace").rstrip(" \x00")
+            implicit_dataset = uid == "1.2.840.10008.1.2"
         name_vr = _NUM_TO_NAME.get((group, elem))
         if name_vr is not None:
             found[name_vr[0]] = _decode_value(vr, data[vpos:vpos + length])
         pos = vpos + length
-    if not found:
-        return None
+    # DICM magic at offset 128 already proves this is a DICOM file; zero
+    # recognized tags just means everything required is missing
     return {t: found.get(t, NOT_FOUND) for t in ALL_TAGS}
 
 
-def encode_dicom(tags: dict[str, object]) -> bytes:
-    """Minimal explicit-VR-little-endian DICOM writer for test fixtures:
-    preamble + DICM + the given {tag-name: value} elements in tag order.
-    Multi-valued entries pass a list (joined with the DICOM '\\')."""
+def encode_dicom(tags: dict[str, object], implicit: bool = False) -> bytes:
+    """Minimal little-endian DICOM writer for test fixtures: preamble +
+    DICM + the given {tag-name: value} elements in tag order.  Multi-valued
+    entries pass a list (joined with the DICOM '\\').  With ``implicit``,
+    dataset elements use implicit-VR encoding and an explicit file-meta
+    group names the default transfer syntax 1.2.840.10008.1.2."""
     elements = []
     for name, value in tags.items():
         group, elem, vr = _TAG_NUMS[name]
@@ -243,13 +261,19 @@ def encode_dicom(tags: dict[str, object]) -> bytes:
             raw = s.encode("ascii")
             if len(raw) % 2:
                 raw += b" "
-        if vr.encode() in _LONG_VRS:
+        if implicit:
+            header = struct.pack("<HHI", group, elem, len(raw))
+        elif vr.encode() in _LONG_VRS:
             header = struct.pack("<HH2sHI", group, elem, vr.encode(), 0, len(raw))
         else:
             header = struct.pack("<HH2sH", group, elem, vr.encode(), len(raw))
         elements.append(((group, elem), header + raw))
+    meta = b""
+    if implicit:
+        uid = b"1.2.840.10008.1.2\x00"  # even length
+        meta = struct.pack("<HH2sH", 0x0002, 0x0010, b"UI", len(uid)) + uid
     body = b"".join(e[1] for e in sorted(elements))
-    return b"\x00" * 128 + b"DICM" + body
+    return b"\x00" * 128 + b"DICM" + meta + body
 
 
 # --- Spark surface --------------------------------------------------------

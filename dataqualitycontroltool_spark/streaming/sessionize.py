@@ -108,17 +108,23 @@ def _make_session_fn(ts_col: str, value_col: str, gap_seconds: int):
                     sessions.append(it)
 
         # a session is FINAL once the watermark passes end+gap: no
-        # in-lateness event can extend or bridge it any more
-        wm_ms = state.getCurrentWatermarkMs()
-        final = [s for s in sessions if s[1] // _US_PER_MS + gap_ms <= wm_ms]
-        pending = [s for s in sessions if s[1] // _US_PER_MS + gap_ms > wm_ms]
+        # in-lateness event can extend or bridge it any more.  The compare
+        # is in MICROSECONDS (watermark promoted, not the end floored):
+        # flooring end to ms would declare a session final up to 999us
+        # early, and a non-late sub-ms event could then re-open an
+        # already-emitted session (duplicate emission).
+        wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
+        final = [s for s in sessions if s[1] + gap_us <= wm_us]
+        pending = [s for s in sessions if s[1] + gap_us > wm_us]
 
         if pending:
             state.update(tuple(zip(*pending)))
             # flush the earliest pending session as soon as the watermark
-            # allows (strictly-greater than wm required by Spark — the
-            # pending filter above guarantees it)
-            state.setTimeoutTimestamp(min(s[1] for s in pending) // _US_PER_MS + gap_ms)
+            # allows; CEILING to ms so the timeout never fires before the
+            # session is truly final (and stays strictly > current wm, as
+            # Spark requires — guaranteed by the pending filter above)
+            earliest_us = min(s[1] for s in pending) + gap_us
+            state.setTimeoutTimestamp(-(-earliest_us // _US_PER_MS))
         elif state.exists:
             state.remove()
         if final:
@@ -148,11 +154,19 @@ def sessionize_stream(
         )
 
     fn = _make_session_fn(ts_col, value_col, gap_seconds)
-    prepared = stream_df.select(
-        F.col(user_col).cast("bigint").alias(user_col),
-        F.col(ts_col).cast("timestamp").alias(ts_col),
-        F.col(value_col).cast("double").alias(value_col),
-    ).withWatermark(ts_col, watermark)
+    prepared = (
+        stream_df.select(
+            F.col(user_col).cast("bigint").alias(user_col),
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        # an event without a time cannot be sessionized: drop it explicitly
+        # (pd.Timestamp(NaT) would otherwise fold to INT64_MIN microseconds
+        # and emit a garbage year-1677 session; the batch twin and its SQL
+        # oracle apply the same filter)
+        .where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+    )
     return prepared.groupBy(user_col).applyInPandasWithState(
         fn, SESSION_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
     )
@@ -176,11 +190,19 @@ def sessionize_batch(
     new_session = (
         prev.isNull() | (ts.cast("long") - prev.cast("long") > gap_seconds)
     ).cast("int")
-    with_sid = df.select(
-        F.col(user_col).cast("bigint").alias(user_col),
-        ts.alias(ts_col),
-        F.col(value_col).cast("double").alias(value_col),
-    ).withColumn("_sid", F.sum(new_session).over(w))
+    with_sid = (
+        df.select(
+            F.col(user_col).cast("bigint").alias(user_col),
+            ts.alias(ts_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        # NULL event times are un-sessionizable and engines disagree on
+        # where they sort (Spark windows: NULLS FIRST; DuckDB: NULLS LAST,
+        # where the gap CASE silently folds them into the last session) —
+        # drop them on both sides, same as the streaming operator
+        .where(F.col(ts_col).isNotNull())
+        .withColumn("_sid", F.sum(new_session).over(w))
+    )
     return (
         with_sid.groupBy(user_col, "_sid")
         .agg(

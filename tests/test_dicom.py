@@ -39,6 +39,39 @@ def test_parser_roundtrip_and_multivalue():
     assert dcm.parse_dicom_header(b"not a dicom file at all") is None
 
 
+def test_parser_implicit_vr_transfer_syntax():
+    # implicit-VR little endian (the DICOM default syntax): the file meta
+    # names it and the parser must switch modes — including the adversarial
+    # case where an implicit 32-bit length has both low bytes in A-Z
+    # (0x4142 = 16706), which a per-element "two uppercase bytes" guess
+    # would misread as an explicit VR 'BA' and desync on
+    tags = _slice_tags("p1", "s1", 3, 7)
+    tags["StudyDescription"] = "A" * 16706
+    data = dcm.encode_dicom(tags, implicit=True)
+    parsed = dcm.parse_dicom_header(data)
+    assert parsed["PatientID"] == "p1"
+    assert parsed["Rows"] == "256"
+    assert parsed["StudyDescription"] == "A" * 16706
+    assert parsed["PixelSpacing"] == "[1.0, 1.0]"
+    # explicit file (no meta group) still parses via the heuristic
+    assert dcm.parse_dicom_header(dcm.encode_dicom(tags))["PatientID"] == "p1"
+
+
+def test_dicm_magic_with_no_known_tags_is_still_dicom(spark):
+    # a DICOMDIR-style file (DICM magic, none of our tags) must surface as
+    # an invalid DICOM with missing tags — NOT land in notprocessed
+    blob = b"\x00" * 128 + b"DICM"
+    parsed = dcm.parse_dicom_header(blob)
+    assert parsed is not None
+    assert all(v == dcm.NOT_FOUND for v in parsed.values())
+    df = spark.createDataFrame([("f", "DICOMDIR", bytearray(blob))],
+                               "folder string, file string, content binary")
+    h = dcm.decode_headers(df).collect()[0]
+    assert h.is_dicom and not h.is_valid
+    assert "PatientID" in h.missing_tags
+    assert dcm.dicom_report_tables(dcm.decode_headers(df))["notprocessed"].count() == 0
+
+
 def test_missing_tags_required_and_oneoftwo():
     full = dcm.parse_dicom_header(dcm.encode_dicom(_slice_tags("p", "s", 1, 1)))
     assert dcm._missing_tags(full) == []

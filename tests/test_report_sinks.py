@@ -133,3 +133,17 @@ def test_xlsx_report_valid_ooxml(df, tmp_path):
         s4 = ET.fromstring(z.read("xl/worksheets/sheet4.xml"))
         t4 = [t.text for t in s4.findall(".//m:is/m:t", ns)]
         assert "Ab" in t4 and "AA" in t4  # the Levenshtein repair pair
+
+
+def test_xlsx_sheet_name_with_quote(tmp_path):
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from dataqualitycontroltool_spark.sinks import xlsx
+
+    out = str(tmp_path / "q.xlsx")
+    xlsx.write_xlsx({'Stats "2024"': [["a", 1]]}, out)
+    with zipfile.ZipFile(out) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))  # must stay well-formed
+        ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+        assert [s.get("name") for s in wb.findall(".//m:sheet", ns)] == ['Stats "2024"']

@@ -176,3 +176,17 @@ def test_sessionize_rejects_string_user_ids(spark):
     stream_like = df  # dtype check happens before any streaming machinery
     with pytest.raises(TypeError, match="integral"):
         sessionize_stream(stream_like)
+
+
+def test_batch_sessionizer_drops_null_ts(spark):
+    # review r2: NULL event times are un-sessionizable and engines disagree
+    # on NULL sort order — both twins drop them
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, None, 99.0),
+        (2, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    out = [tuple(r) for r in sessionize_batch(df, gap_seconds=600).collect()]
+    assert len(out) == 1
+    assert out[0][0] == 1 and out[0][3] == 1 and out[0][4] == 1.0
