@@ -549,6 +549,16 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+
+    # convergence check: per-node labels only ever DECREASE (least of old
+    # and candidates), so Σcomp is strictly monotone — equal sums ⇔ no node
+    # changed.  One single-stage aggregate over the just-checkpointed
+    # labels per round, instead of a join + filter + count (3 extra stages
+    # per round; decimal(38,0) keeps the sum exact at any node count).
+    def label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -579,15 +589,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
