@@ -818,6 +818,16 @@ _MARKERS = {
 }
 
 
+# oracles that are pinned VALUES goldens (deterministic fixture/codec paths
+# with no SQL twin) — DuckDB does ~no work for these, so single-node
+# yardstick comparisons (bench_duckdb.py / PLANS.md) exclude them
+GOLDEN_ORACLES = frozenset({
+    "dicom_sequence_report",
+    "multimodal_image_features",
+    "infer_schema_documents",
+})
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_numeric_quantity": _numeric_profile_sql("lineitem", "l_quantity"),

@@ -27,10 +27,16 @@ def main() -> None:
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         timings[name] = round(time.perf_counter() - t0, 4)
+    # the comparison basis excludes the pinned VALUES goldens (DuckDB does
+    # ~no work for those) — matches the PLANS.md methodology exactly
+    computed = {k: v for k, v in timings.items()
+                if k not in entry_mod.GOLDEN_ORACLES}
     print(json.dumps({
         "metric": "duckdb_oracle_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(computed.values()), 4),
         "unit": "sec",
+        "n_queries": len(computed),
+        "value_incl_goldens": round(sum(timings.values()), 4),
         "queries": timings,
         "sf": SF_DIR,
     }))

@@ -550,15 +550,32 @@ def connected_components(
         .localCheckpoint()
     )
 
-    # convergence check: per-node labels only ever DECREASE (least of old
-    # and candidates), so Σcomp is strictly monotone — equal sums ⇔ no node
-    # changed.  One single-stage aggregate over the just-checkpointed
-    # labels per round, instead of a join + filter + count (3 extra stages
-    # per round; decimal(38,0) keeps the sum exact at any node count).
-    def label_sum(lb: DataFrame):
-        return lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    # convergence check, two variants by id type:
+    # * integral ids — per-node labels only ever DECREASE (least of old and
+    #   candidates), so Σcomp is strictly monotone and an equal EXACT sum
+    #   (decimal(38,0), no overflow at any node count) ⇔ no node changed:
+    #   one single-stage aggregate per round.
+    # * anything else (string ids are legitimate: least() = lexicographic
+    #   min, a valid canonical survivor) — numeric-sum monotonicity does
+    #   not apply (and ANSI would throw on the cast), so keep the
+    #   type-agnostic join + changed-count.
+    id_dtype = dict(labels.dtypes)["id"]
+    integral_ids = id_dtype in ("tinyint", "smallint", "int", "bigint", "long")
 
-    prev_sum = label_sum(labels)
+    def unchanged(new_lb: DataFrame, old_lb: DataFrame, prev) -> tuple:
+        if integral_ids:
+            s = new_lb.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+            return s == prev, s
+        n = (
+            new_lb.alias("n").join(old_lb.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp")).count()
+        )
+        return n == 0, None
+
+    prev_sum = (
+        labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        if integral_ids else None
+    )
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -589,11 +606,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        new_sum = label_sum(new_labels)
+        done, prev_sum = unchanged(new_labels, labels, prev_sum)
         labels = new_labels
-        if new_sum == prev_sum:
+        if done:
             return labels
-        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

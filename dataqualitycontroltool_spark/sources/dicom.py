@@ -211,12 +211,16 @@ def parse_dicom_header(data: bytes) -> dict[str, str] | None:
         if (group, elem) == (0x7FE0, 0x0010):  # pixel data — stop
             break
         vr_bytes = data[pos + 4:pos + 6]
+        looks_explicit = all(0x41 <= b <= 0x5A for b in vr_bytes)
         if group == 0x0002:
-            explicit = True
+            # the standard makes file meta explicit-VR, but sloppy writers
+            # emit it implicitly — only force explicit when the VR bytes
+            # actually look like one, else fall back to implicit decoding
+            explicit = looks_explicit
         elif implicit_dataset:
             explicit = False
         else:
-            explicit = all(0x41 <= b <= 0x5A for b in vr_bytes)
+            explicit = looks_explicit
         if explicit:
             vr = vr_bytes.decode("ascii")
             if vr_bytes in _LONG_VRS:

@@ -320,3 +320,16 @@ def test_decontamination_flags(spark):
               dedup.decontamination_flags(corpus, bench, "doc_id", "text",
                                           k=8, min_overlap=2).collect()}
     assert strict[1] is False
+
+
+def test_connected_components_string_ids(spark):
+    # review r2: string ids are legitimate (least() = lexicographic min) and
+    # must use the type-agnostic convergence check, not the numeric sum
+    # proxy (numeric-string ids are not numerically monotone: '10' < '9')
+    pairs = spark.createDataFrame(
+        [("m1", "m2"), ("m2", "m3"), ("m3", "m4"), ("x9", "x10")],
+        "id_a string, id_b string",
+    )
+    comps = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comps == {"m1": "m1", "m2": "m1", "m3": "m1", "m4": "m1",
+                     "x9": "x10", "x10": "x10"}

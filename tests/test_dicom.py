@@ -186,3 +186,22 @@ def test_consensus_tie_break_pinned(spark):
     df = spark.createDataFrame(rows, "folder string, file string, content binary")
     seq = dcm.sequence_table(dcm.decode_headers(df)).collect()[0]
     assert seq.Manufacturer == "Bbb"
+
+
+def test_parser_implicit_file_meta_group():
+    # review r2: sloppy writers emit the file-meta group itself implicitly
+    # (non-conformant but seen in the wild) — the parser must not force
+    # explicit decoding on group 0002 when the bytes don't look explicit
+    import struct
+
+    tags = _slice_tags("p7", "s7", 2, 1)
+    body = dcm.encode_dicom(tags, implicit=True)
+    # rebuild with the (0002,0010) element ALSO implicit
+    uid = b"1.2.840.10008.1.2\x00"
+    meta_implicit = struct.pack("<HHI", 0x0002, 0x0010, len(uid)) + uid
+    explicit_meta_len = 8 + len(uid)  # <HH2sH> + value
+    dataset = body[132 + explicit_meta_len:]
+    blob = body[:132] + meta_implicit + dataset
+    parsed = dcm.parse_dicom_header(blob)
+    assert parsed["PatientID"] == "p7"
+    assert parsed["Rows"] == "256"
