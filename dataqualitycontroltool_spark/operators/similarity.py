@@ -402,7 +402,10 @@ def semantic_dedup(
     )
     cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     losers = (
-        a.join(b, on="cluster")
+        # shuffle-hash, not sort-merge: the join key has only k distinct
+        # values, so SMJ would sort the whole corpus by cluster id for no
+        # benefit; a hash join streams each cluster's block directly
+        a.join(b.hint("shuffle_hash"), on="cluster")
         .where(F.col("_ida") < F.col("_idb"))
         .where(cos >= threshold)
         .select(F.col("_idb").alias(id_col))
