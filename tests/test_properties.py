@@ -137,3 +137,86 @@ import pytest as _pytest
 def spark_lazy(spark):
     """Hypothesis forbids function-scoped fixtures; hand it a session getter."""
     return lambda: spark
+
+
+# --- streaming session fold == batch sessionizer under random delivery ----
+
+
+def _reference_sessions(times, gap_us):
+    """Ground truth: sort all event times, split on gaps > gap_us."""
+    out = []
+    for t in sorted(times):
+        if out and t - out[-1][1] <= gap_us:
+            out[-1][1] = t
+            out[-1][2] += 1
+        else:
+            out.append([t, t, 1])
+    return {(s[0], s[1], s[2]) for s in out}
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=300),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_stream_fold_equals_reference_under_random_batching(times, gap_s, data):
+    """The applyInPandasWithState fold, driven across RANDOM micro-batch
+    splits with a monotone watermark, must emit exactly the reference
+    sessions (each once) and hold the rest in state — for any ordering
+    the watermark admits."""
+    import pandas as pd
+
+    from dataqualitycontroltool_spark.streaming.sessionize import _make_session_fn
+    from tests.test_sessionize import _FakeState
+
+    gap_us = gap_s * 1_000_000
+    fn = _make_session_fn("ts", "value", gap_seconds=gap_s)
+    st_ = _FakeState()
+
+    # deliver in random batches; watermark = max delivered time (zero
+    # lateness) — any event at/above the watermark is admissible, and the
+    # shuffled order inside a batch exercises the out-of-order fold
+    order = data.draw(st.permutations(times))
+    n_batches = data.draw(st.integers(min_value=1, max_value=5))
+    emitted = []
+    wm_us = 0
+    delivered = []
+    for i, t in enumerate(order):
+        delivered.append(t)
+        if i % max(1, len(order) // n_batches) == 0 or i == len(order) - 1:
+            batch = [x for x in delivered if x * 1_000_000 >= wm_us]
+            if len(batch) != len(delivered):
+                return  # late-dropped events change the reference set; skip case
+            delivered = []
+            if not batch:
+                continue
+            events = [(pd.Timestamp(x, unit="s"), 1.0) for x in batch]
+            for out in _run(fn, st_, events, wm_us // 1000):
+                emitted.append(out)
+            wm_us = max(wm_us, max(x * 1_000_000 for x in batch))
+
+    # final timeout flush at watermark -> +infinity
+    st_.hasTimedOut = True
+    st_._wm = 10**15
+    for out in fn((1,), iter([]), st_):
+        emitted.append(out)
+
+    got = set()
+    for pdf in emitted:
+        for r in pdf.itertuples(index=False):
+            key = (int(r.session_start.value // 1000), int(r.session_end.value // 1000),
+                   int(r.n_events))
+            assert key not in got, "duplicate emission"
+            got.add(key)
+    want = _reference_sessions([t * 1_000_000 for t in order], gap_us)
+    assert got == want
+
+
+def _run(fn, state, events, wm_ms):
+    import pandas as pd
+
+    state._wm = wm_ms
+    state.hasTimedOut = False
+    pdf = pd.DataFrame(events, columns=["ts", "value"])
+    return list(fn((1,), iter([pdf]), state))
