@@ -154,3 +154,48 @@ def test_repetition_stats(spark):
     # doc 1: 'unique line' occurs 3x of 8 bigram occurrences -> 0.375
     assert out[1].top_bigram_frac == 0.375
     assert out[4].top_bigram_frac == 0.0 and out[4].n_lines == 1
+
+
+def test_decontamination_and_repetition_match_python_ground_truth(spark):
+    # seeded randomized corpus: the Spark operators must equal a plain
+    # Python computation of the same definitions
+    import random
+    import re
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+            for i in range(60)]
+    bench_texts = [" ".join(rng.choice(vocab) for _ in range(12)) for _ in range(5)]
+
+    def sh(text, k):
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    bench_sh = set().union(*(sh(t, 3) for t in bench_texts))
+    want_overlap = {i: len(sh(t, 3) & bench_sh) for i, t in docs}
+
+    from dataqualitycontroltool_spark.operators import dedup
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    got = {r.doc_id: r.n_overlap for r in
+           dedup.decontamination_flags(df, bdf, "doc_id", "text", k=3).collect()}
+    assert got == want_overlap
+    assert any(v > 0 for v in got.values())  # fixture actually overlaps
+
+    # repetition: top-bigram fraction vs Python counter
+    from collections import Counter
+
+    def top_frac(text):
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else []
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            return 0.0
+        c = Counter(grams)
+        return round(max(c.values()) / len(grams), 6)
+
+    want_tb = {i: top_frac(t) for i, t in docs}
+    got_tb = {r.doc_id: r.top_bigram_frac for r in
+              textstats.repetition_stats(df, "doc_id", "text").collect()}
+    assert got_tb == want_tb
