@@ -85,6 +85,29 @@ def cmd_filter(args) -> int:
     return 0
 
 
+def cmd_dicom(args) -> int:
+    """Reference `qctool dicom <dicom folder> <report folder>`
+    (cli.py:93-114): scan a DICOM tree, write the five CSV reports with the
+    reference's exact filenames.  The tables are per-sequence aggregates
+    (small by construction), so they render driver-side like the
+    reference's csv.DictWriter output; at web scale point the report
+    DataFrames at `df.write.csv` instead."""
+    import os
+
+    from dataqualitycontroltool_spark.sources import dicom as dcm
+
+    spark = _get_spark(args)
+    headers = dcm.read_dicom_headers(spark, args.dicom_folder).localCheckpoint()
+    os.makedirs(args.report_folder, exist_ok=True)
+    counts = {}
+    for name, df in dcm.dicom_report_tables(headers).items():
+        pdf = df.toPandas()
+        pdf.to_csv(os.path.join(args.report_folder, f"{name}.csv"), index=False)
+        counts[name] = len(pdf)
+    print(json.dumps(counts))
+    return 0
+
+
 def cmd_pyfiles(args) -> int:
     print(build_pyfiles_zip())
     return 0
@@ -133,6 +156,11 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("output")
     f.add_argument("--max-partitions", type=int, default=None)
     f.set_defaults(fn=cmd_filter)
+
+    d = sub.add_parser("dicom", help="MRI DICOM validation report (reference: qctool dicom)")
+    d.add_argument("dicom_folder")
+    d.add_argument("report_folder")
+    d.set_defaults(fn=cmd_dicom)
 
     p = sub.add_parser("pyfiles", help="build the --py-files zip")
     p.set_defaults(fn=cmd_pyfiles)

@@ -66,3 +66,30 @@ def test_pyfiles_cmd(capsys):
     names = zipfile.ZipFile(path).namelist()
     assert "dataqualitycontroltool_spark/cli.py" in names
     assert "dataqualitycontroltool_spark/graft/pipeline.py" in names
+
+
+def test_dicom_cmd(spark, tmp_path, capsys):
+    import os
+
+    from dataqualitycontroltool_spark.sources import dicom as dcm
+
+    root = tmp_path / "dicoms" / "f1"
+    os.makedirs(root)
+    tags = {"PatientID": "P", "StudyID": "S", "SeriesNumber": 1,
+            "InstanceNumber": 0, "SeriesDescription": "T1",
+            "SliceLocation": "0.0", "SamplesPerPixel": 1, "Rows": 64,
+            "Columns": 64, "PixelSpacing": ["1.0", "1.0"], "BitsAllocated": 16,
+            "BitsStored": 12, "HighBit": 11, "SeriesDate": "20240101",
+            "PatientAge": "040Y",
+            "ImageOrientationPatient": ["1", "0", "0", "0", "1", "0"],
+            "ImagePositionPatient": ["0", "0", "0"], "SliceThickness": "1.0"}
+    (root / "a.dcm").write_bytes(dcm.encode_dicom(tags))
+    (root / "junk.txt").write_bytes(b"not dicom")
+    rep = tmp_path / "report"
+    assert cli.main(["--cpus", "4", "dicom", str(tmp_path / "dicoms"), str(rep)]) == 0
+    names = {p.name for p in rep.iterdir()}
+    assert names == {"validsequences.csv", "invalidsequences.csv",
+                     "invaliddicoms.csv", "notprocessed.csv", "mri_visits.csv"}
+    inv = (rep / "invalidsequences.csv").read_text()
+    assert "minimum number of slices failure" in inv  # 1 slice < 40
+    assert "junk.txt" in (rep / "notprocessed.csv").read_text()
