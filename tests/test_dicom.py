@@ -205,3 +205,32 @@ def test_parser_implicit_file_meta_group():
     parsed = dcm.parse_dicom_header(blob)
     assert parsed["PatientID"] == "p7"
     assert parsed["Rows"] == "256"
+
+
+def test_parser_never_raises_on_arbitrary_bytes():
+    # robustness net: truncated/corrupt/random input must yield None or a
+    # complete tag dict — never an exception (the decode UDF would fail the
+    # whole task otherwise)
+    from hypothesis import given, settings, strategies as st
+
+    valid = dcm.encode_dicom(_slice_tags("p", "s", 1, 1))
+
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def random_bytes(data):
+        out = dcm.parse_dicom_header(data)
+        assert out is None or set(out) == set(dcm.ALL_TAGS)
+
+    @given(st.integers(min_value=0, max_value=len(valid)),
+           st.integers(min_value=0, max_value=255),
+           st.integers(min_value=0, max_value=len(valid) - 1))
+    @settings(max_examples=200, deadline=None)
+    def mutated(cut, byte, pos):
+        blob = bytearray(valid[:cut] if cut else valid)
+        if blob:
+            blob[min(pos, len(blob) - 1)] = byte
+        out = dcm.parse_dicom_header(bytes(blob))
+        assert out is None or set(out) == set(dcm.ALL_TAGS)
+
+    random_bytes()
+    mutated()
