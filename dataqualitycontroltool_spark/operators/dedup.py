@@ -692,6 +692,8 @@ def decontamination_flags(
     bench_text_col: str | None = None,
     k: int = 8,
     min_overlap: int = 1,
+    bloom_fpp: float | None = None,
+    bloom_expected_items: int = 1_000_000,
 ) -> DataFrame:
     """Benchmark decontamination — the standard LLM-pipeline check that no
     training document shares long n-grams with an evaluation set: per
@@ -708,15 +710,49 @@ def decontamination_flags(
     decontaminates against a huge held-out split), then one equi-join +
     per-doc count.  Nothing is O(corpus × benchmark); the join fan-out is
     Σ over shared shingles of df_corpus(s) — the same Σdf² shape as the
-    n-gram Jaccard plan, bounded by the benchmark vocabulary."""
+    n-gram Jaccard plan, bounded by the benchmark vocabulary.
+
+    ``bloom_fpp`` (e.g. 0.01) adds a RESULT-PRESERVING map-side pre-filter
+    for the 100TB path: a single-hash bloom bitmap of the benchmark's
+    shingle hashes (built driver-side — an eval-set vocabulary fits the
+    driver by definition; sized at ~expected_items/fpp bits, so 0.01 fpp
+    over 1M shingles is a ~12MB broadcast) is cross-joined as one
+    array<long> row, and corpus shingles are bit-tested with pure Catalyst
+    expressions BEFORE the shuffle — only (true + fpp·false) positives
+    cross the wire instead of every corpus shingle; the exact equi-join
+    then removes the false positives.  Spark's own runtime bloom-filter
+    injection covers the same idea but fires only on its size/stat
+    heuristics (verified NOT to inject on this plan), and its
+    ``bloom_filter_agg`` expression is not registered for SQL use — the
+    explicit bitmap makes the pruning deterministic."""
     bench_col = bench_text_col or text_col
     bench_shingles = (
         benchmark.select(F.explode(F.array_distinct(
             shingles(F.col(bench_col), k))).alias("shingle"))
         .distinct()
     )
+    corpus_shingles = shingle_table(corpus, id_col, text_col, k)
+    if bloom_fpp is not None:
+        m_bits = max(64, int(bloom_expected_items / bloom_fpp))
+        words = [0] * ((m_bits + 63) // 64)
+        for r in (bench_shingles
+                  .select(F.pmod(F.xxhash64("shingle"), F.lit(m_bits)).alias("h"))
+                  .distinct().collect()):
+            h = int(r.h)
+            words[h >> 6] |= 1 << (h & 63)
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]  # int64
+        bm = corpus.sparkSession.createDataFrame([(words,)], "_bm array<long>")
+        corpus_shingles = (
+            corpus_shingles.join(F.broadcast(bm))
+            .withColumn("_h", F.pmod(F.xxhash64("shingle"), F.lit(m_bits)))
+            .where(F.expr(
+                "(shiftright(element_at(_bm, CAST(_h / 64 AS INT) + 1),"
+                " CAST(_h % 64 AS INT)) & 1) = 1"
+            ))
+            .drop("_bm", "_h")
+        )
     hits = (
-        shingle_table(corpus, id_col, text_col, k)
+        corpus_shingles
         .join(bench_shingles, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))

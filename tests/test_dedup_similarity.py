@@ -333,3 +333,18 @@ def test_connected_components_string_ids(spark):
     comps = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
     assert comps == {"m1": "m1", "m2": "m1", "m3": "m1", "m4": "m1",
                      "x9": "x10", "x10": "x10"}
+
+
+def test_decontamination_bloom_prefilter_result_preserving(spark):
+    # the bloom pre-filter only PRUNES before the exact join — results must
+    # be identical, and the plan must actually contain the might_contain test
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 50 = 0").select("text")
+    plain = sorted(map(tuple, dedup.decontamination_flags(
+        docs, bench, "doc_id", "text", k=8).collect()))
+    bloomed_df = dedup.decontamination_flags(
+        docs, bench, "doc_id", "text", k=8,
+        bloom_fpp=0.01, bloom_expected_items=10_000)
+    plan = bloomed_df._jdf.queryExecution().executedPlan().toString()
+    assert "shiftright" in plan  # the bitmap bit-test reached the plan
+    assert sorted(map(tuple, bloomed_df.collect())) == plain
