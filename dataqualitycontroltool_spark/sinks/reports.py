@@ -148,7 +148,7 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
 <tr><th>kind</th><th>key</th><th>rows</th><th>%</th></tr>
 {% for r in row_stats %}
 <tr><td>{{ r.kind }}</td><td>{{ r.key }}</td><td>{{ r.rows }}</td>
-    <td>{{ "%.2f" | format(100.0 * r.rows / general.total_rows) }}</td></tr>
+    <td>{{ r.pct }}</td></tr>
 {% endfor %}
 </table>
 
@@ -198,6 +198,11 @@ def render_html_report(
         (r.asDict() for r in tables["row_stats"].collect()),
         key=lambda r: (r["kind"], str(r["key"])),
     )
+    # percentage precomputed with a zero-row fallback: an empty input table
+    # must still render a report, not ZeroDivisionError inside Jinja
+    total = general.get("total_rows") or 0
+    for r in row_stats:
+        r["pct"] = f"{100.0 * r['rows'] / total:.2f}" if total else "0.00"
     column_df = tables["column_stats"]
     column_stats = sorted(
         (r.asDict() for r in column_df.collect()),

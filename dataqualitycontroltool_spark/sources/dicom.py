@@ -224,6 +224,11 @@ def parse_dicom_header(data: bytes) -> dict[str, str] | None:
         if explicit:
             vr = vr_bytes.decode("ascii")
             if vr_bytes in _LONG_VRS:
+                # the 12-byte long-VR header needs 4 more bytes than the
+                # loop guard (pos+8) proved — a file truncated inside this
+                # header must break out, not raise struct.error
+                if pos + 12 > n:
+                    break
                 (length,) = struct.unpack_from("<I", data, pos + 8)
                 vpos = pos + 12
             else:
@@ -328,14 +333,31 @@ def decode_headers(files_df: DataFrame) -> DataFrame:
 def read_dicom_headers(spark, root: str) -> DataFrame:
     """binaryFile scan of a DICOM root → header DataFrame.  The scan
     carries whole files; at scale bound split size with
-    spark.sql.files.maxPartitionBytes (see graft/decode.py notes)."""
+    spark.sql.files.maxPartitionBytes (see graft/decode.py notes).
+
+    ``folder`` is the ROOT-RELATIVE dirname ('' for files directly under
+    the root), matching the reference's removeroot subfolder key
+    (dicomreport.py:399-406 — ``os.path.dirname(os.path.relpath(f, root))``).
+    Derived from binaryFile's ``path`` column (a plain Hadoop Path string),
+    not ``input_file_name()`` which percent-encodes URIs: two nested
+    directories with the same basename must stay distinct grouping scopes,
+    and the Folder column of invaliddicoms/notprocessed must locate the
+    file for the user."""
+    import os
+    import re
+
+    root_abs = os.path.abspath(root).rstrip("/")
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(root)
+        .select("path", "content")
+        # strip the URI scheme (file:/a, file:///a, hdfs://nn/a → /a ...)
+        .withColumn("_p", F.regexp_replace("path", r"^[A-Za-z][A-Za-z0-9+.-]*:/{0,2}(/[^/].*)$", r"$1"))
+        .withColumn("_rel", F.regexp_replace("_p", "^" + re.escape(root_abs) + "/", ""))
         .select(
-            F.regexp_extract(F.input_file_name(), r"^.*/([^/]+)/[^/]+$", 1).alias("folder"),
-            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file"),
+            F.regexp_extract("_rel", r"^(.*)/[^/]+$", 1).alias("folder"),
+            F.regexp_extract("_rel", r"([^/]+)$", 1).alias("file"),
             F.col("content"),
         )
     )

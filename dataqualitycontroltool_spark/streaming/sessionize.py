@@ -8,7 +8,9 @@ per-key state.  This operator assembles per-user sessions (events closer
 than ``gap`` belong together) and emits each session exactly once:
 
 * a session is emitted exactly once, as soon as the event-time WATERMARK
-  passes ``session_end + gap`` — from that point no in-lateness event can
+  STRICTLY passes ``session_end + gap`` (strict because Spark still accepts
+  an on-time event at exactly ts == watermark, which merges under
+  ``ts - end <= gap``) — from that point no in-lateness event can
   extend or bridge it, so emission is final even for out-of-order arrivals
   across micro-batches (any ``watermark`` delay is supported, not just the
   zero-lateness default);
@@ -113,18 +115,25 @@ def _make_session_fn(ts_col: str, value_col: str, gap_seconds: int):
         # flooring end to ms would declare a session final up to 999us
         # early, and a non-late sub-ms event could then re-open an
         # already-emitted session (duplicate emission).
+        # STRICT compare: Spark still accepts an on-time event at exactly
+        # ts == watermark, and the merge condition is ts - end <= gap, so a
+        # session with end + gap == wm can still be extended by an event at
+        # ts == wm — it must stay pending (the batch twin merges that event;
+        # emitting here would split it and break stream==batch equivalence)
         wm_us = state.getCurrentWatermarkMs() * _US_PER_MS
-        final = [s for s in sessions if s[1] + gap_us <= wm_us]
-        pending = [s for s in sessions if s[1] + gap_us > wm_us]
+        final = [s for s in sessions if s[1] + gap_us < wm_us]
+        pending = [s for s in sessions if s[1] + gap_us >= wm_us]
 
         if pending:
             state.update(tuple(zip(*pending)))
             # flush the earliest pending session as soon as the watermark
             # allows; CEILING to ms so the timeout never fires before the
-            # session is truly final (and stays strictly > current wm, as
-            # Spark requires — guaranteed by the pending filter above)
+            # session is truly final, and at least wm+1ms since a boundary
+            # session (end + gap == wm) is now kept pending but Spark
+            # requires timeout timestamps strictly > the current watermark
             earliest_us = min(s[1] for s in pending) + gap_us
-            state.setTimeoutTimestamp(-(-earliest_us // _US_PER_MS))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(-(-earliest_us // _US_PER_MS), wm_ms + 1))
         elif state.exists:
             state.remove()
         if final:

@@ -234,3 +234,46 @@ def test_parser_never_raises_on_arbitrary_bytes():
 
     random_bytes()
     mutated()
+
+
+def test_parser_truncated_long_vr_header():
+    # advice r3 (high): a file cut inside an explicit long-VR (OB/OW/OF/SQ/
+    # UT/UN) element header satisfies the pos+8 loop guard but not the
+    # 4-byte length read at pos+8 — must break out, never raise
+    import struct
+
+    blob = (b"\x00" * 128 + b"DICM"
+            + struct.pack("<HH2sH", 0x0008, 0x0020, b"OB", 0))
+    parsed = dcm.parse_dicom_header(blob)
+    assert parsed is not None and set(parsed) == set(dcm.ALL_TAGS)
+    # every prefix of a valid long-VR element is equally safe
+    tags = _slice_tags("p8", "s8", 1, 1)
+    full = dcm.encode_dicom(tags) + struct.pack(
+        "<HH2sHI", 0x0008, 0x1030, b"UT", 0, 4) + b"desc"
+    for cut in range(132, len(full)):
+        out = dcm.parse_dicom_header(full[:cut])
+        assert out is None or set(out) == set(dcm.ALL_TAGS)
+
+
+def test_read_dicom_headers_root_relative_folder(spark, tmp_path):
+    # advice r3 (medium): folder must be the ROOT-RELATIVE dirname
+    # (dicomreport.py:399-406), so nested dirs with the same basename stay
+    # distinct scopes and the Folder column locates the file; spaces in
+    # path components must not come back percent-encoded
+    root = tmp_path / "dicom root"
+    for sub in ("siteA/ser1", "siteB/ser1"):
+        d = root / sub
+        d.mkdir(parents=True)
+        (d / "x.dcm").write_bytes(
+            dcm.encode_dicom(_slice_tags("P1", "ST1", 1, 1)))
+    (root / "top.dcm").write_bytes(
+        dcm.encode_dicom(_slice_tags("P2", "ST2", 1, 1)))
+    headers = dcm.read_dicom_headers(spark, str(root))
+    got = sorted((r.folder, r.file) for r in headers.collect())
+    assert got == [("", "top.dcm"), ("siteA/ser1", "x.dcm"),
+                   ("siteB/ser1", "x.dcm")]
+    # the two same-basename dirs (identical PatientID/StudyID/SeriesNumber)
+    # form two sequences, not one merged scope
+    seqs = dcm.sequence_table(headers).collect()
+    assert len(seqs) == 3
+    assert sorted(s.folder for s in seqs) == ["", "siteA/ser1", "siteB/ser1"]

@@ -147,3 +147,14 @@ def test_xlsx_sheet_name_with_quote(tmp_path):
         wb = ET.fromstring(z.read("xl/workbook.xml"))  # must stay well-formed
         ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
         assert [s.get("name") for s in wb.findall(".//m:sheet", ns)] == ['Stats "2024"']
+
+
+def test_html_report_empty_table(spark):
+    # advice r3 (low): an EMPTY input table must still render a report —
+    # the row-statistics percentage used to divide by total_rows=0 inside
+    # Jinja and raise ZeroDivisionError
+    empty = spark.createDataFrame([], "code string, n string")
+    html = reports.render_html_report(
+        reports.report_tables(empty, SPEC), "empty.csv")
+    assert "Quality Control Report" in html
+    assert "<b>0</b>" in html  # total_rows

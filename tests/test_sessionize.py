@@ -190,3 +190,38 @@ def test_batch_sessionizer_drops_null_ts(spark):
     out = [tuple(r) for r in sessionize_batch(df, gap_seconds=600).collect()]
     assert len(out) == 1
     assert out[0][0] == 1 and out[0][3] == 1 and out[0][4] == 1.0
+
+
+def test_stream_boundary_event_at_exact_watermark_merges():
+    # advice r3 (low): an on-time event arriving at exactly
+    # ts == wm == session_end + gap merges in the batch twin (diff <= gap),
+    # so the stream must NOT have finalized that session — finality is
+    # strict (end + gap < wm), and the re-armed timeout stays > wm.
+    import pandas as pd
+
+    from dataqualitycontroltool_spark.streaming.sessionize import _make_session_fn
+
+    fn = _make_session_fn("ts", "value", gap_seconds=600)
+    st = _FakeState()
+    _run_batch(fn, st, [("2024-01-01 10:00:00", 1.0)], wm_ms=0)
+
+    # watermark lands EXACTLY on end + gap (10:10): session must stay pending
+    wm = int(pd.Timestamp("2024-01-01 10:10:00").value // 1_000_000)
+    out = _run_batch(fn, st, [], wm_ms=wm)
+    assert out == [] and st.exists
+    assert st.timeout_ms > wm  # Spark requires timeout strictly > watermark
+
+    # the boundary event merges instead of opening a split session
+    out = _run_batch(fn, st, [("2024-01-01 10:10:00", 2.0)], wm_ms=wm)
+    assert out == []
+    starts, ends, ns, totals = st.get
+    assert len(starts) == 1 and ns[0] == 2 and totals[0] == 3.0
+
+    # one microsecond past the boundary -> final, emitted once
+    st.hasTimedOut = True
+    out = list(fn((1,), iter([]), st))
+    st._wm = wm + 600_000_000 // 1000 + 1
+    st.hasTimedOut = True
+    out = list(fn((1,), iter([]), st))
+    assert len(out) == 1 and out[0].iloc[0].n_events == 2
+    assert not st.exists
