@@ -3,9 +3,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is fully executed (collected) and timed after a warm-up of the
-SparkSession; the JVM/session startup cost is excluded — at 100TB scale, session
-startup is amortized to zero, so including it would only measure the sandbox.
+Each query is FULLY executed via a noop-format write — every output column is
+materialized, nothing is collected to the driver — and timed after a warm-up of
+the SparkSession; the JVM/session startup cost is excluded — at 100TB scale,
+session startup is amortized to zero, so including it would only measure the
+sandbox.  (An earlier version timed `df.count()`, which lets Catalyst prune
+computed projection columns: a pure-projection query like text_simhash measured
+0.23s under count() vs 4.34s real — every timing here is the real number.)
 """
 
 from __future__ import annotations
@@ -39,9 +43,10 @@ def main() -> None:
     for name, fn in queries.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # full execution
+        # noop write = full execution of EVERY column (count() would let
+        # Catalyst prune computed projections — perf gotcha #2)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -185,7 +185,10 @@ def quantile_bucket_stats(
     )
 
 
-def profile_table(df: DataFrame, spec, threshold: float = 3.0, exact: bool = True) -> dict:
+def profile_table(
+    df: DataFrame, spec, threshold: float = 3.0, exact: bool = True,
+    cache: bool = True,
+) -> dict:
     """{field_name: profile DataFrame} for every spec field, profiling only
     the cast-VALID values — exactly the reference's per-column stats flow
     (``controller/columnreport.py:439-464``: validate → cast valid pairs →
@@ -193,11 +196,17 @@ def profile_table(df: DataFrame, spec, threshold: float = 3.0, exact: bool = Tru
     re-scan per column (the reference's O(cols × file) anti-pattern,
     SURVEY §4.1).
 
-    The validated frame is cached because every field's profile aggregates
-    it; each profile is a 1-row DataFrame dispatched by MIPType."""
+    With ``cache=True`` (default) the validated frame is persisted because
+    every field's profile aggregates it; the CALLER owns the cache
+    lifecycle (unpersist / ``spark.catalog.clearCache()`` / session
+    teardown — same contract as ``dedup.simhash_pairs``).  ``cache=False``
+    leaves no cached state: each profile recomputes the validation scan —
+    prefer it when fields are profiled one-off at corpus scale."""
     from dataqualitycontroltool_spark.plans.compiler import ValidationPlan
 
-    validated = ValidationPlan(spec).apply(df, derive=("cast",)).cache()
+    validated = ValidationPlan(spec).apply(df, derive=("cast",))
+    if cache:
+        validated = validated.cache()
     out = {}
     for f in spec.fields:
         col = f"{f.name}__cast"

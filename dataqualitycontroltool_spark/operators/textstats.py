@@ -171,14 +171,22 @@ def tfidf_top_terms(
     document frequency per term [aggregates the previous result — terms are
     already reduced] → broadcast-join idf (distinct-term table is small
     relative to the corpus) → per-doc window top-k.  Hot terms are pre-
-    reduced before the window, so skewed vocabularies don't hot-spot."""
+    reduced before the window, so skewed vocabularies don't hot-spot.
+
+    N (the idf numerator) is computed INSIDE the plan as a 1-row
+    countDistinct aggregate broadcast-cross-joined into the term table —
+    not a driver ``.count()``, which would be a second full corpus scan
+    plus an eager action at plan-construction time (r2 verdict #3; same
+    pattern as profile_numerical's bounds)."""
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.countDistinct(id_col).cast("double").alias("_n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    idf = dfreq.select("term", F.log(F.lit(float(n_docs)) / F.col("df_t")).alias("idf"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.log(F.col("_n_docs") / F.col("df_t")).alias("idf")
+    )
     scored = tf.join(F.broadcast(idf), "term").select(
         id_col, "term", "tf", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
     )

@@ -45,7 +45,9 @@ def correction_suggestions(validated: DataFrame, spec: TableSpec) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
-def report_tables(df: DataFrame, spec: TableSpec) -> dict[str, DataFrame]:
+def report_tables(
+    df: DataFrame, spec: TableSpec, cache: bool = True
+) -> dict[str, DataFrame]:
     """The four report tables from ONE validation pass:
 
     * ``general``        — table-level totals (rows, columns, fields checked)
@@ -53,9 +55,16 @@ def report_tables(df: DataFrame, spec: TableSpec) -> dict[str, DataFrame]:
                            bucket bands (A7-A9)
     * ``column_stats``   — per-field nulls/valid/dtype/constraint/filled%
     * ``corrections``    — distinct violated values with suggestions
-    """
+
+    With ``cache=True`` (default) the validated frame is persisted — all
+    four tables aggregate it; the CALLER owns the cache lifecycle
+    (unpersist / ``spark.catalog.clearCache()`` / session teardown — same
+    contract as ``dedup.simhash_pairs``).  ``cache=False`` leaves no
+    cached state and recomputes the validation scan per table."""
     plan = ValidationPlan(spec)
-    validated = plan.apply(df, derive=("status", "suggestion")).cache()
+    validated = plan.apply(df, derive=("status", "suggestion"))
+    if cache:
+        validated = validated.cache()
 
     n_fields = len(spec.fields)
     general = validated.agg(

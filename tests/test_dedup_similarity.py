@@ -348,3 +348,44 @@ def test_decontamination_bloom_prefilter_result_preserving(spark):
     plan = bloomed_df._jdf.queryExecution().executedPlan().toString()
     assert "shiftright" in plan  # the bitmap bit-test reached the plan
     assert sorted(map(tuple, bloomed_df.collect())) == plain
+
+
+def test_simhash_packed_fast_path_matches_definition(spark):
+    # r3: documents <= 1023 tokens take the packed-counter fold (10 longs,
+    # carry-free multiply spread); longer ones the wide 60-element fold.
+    # Both must equal the md5 bit definition computed independently in
+    # Python (the oracle's definition), including the >1023-token doc and
+    # the empty string (which tokenizes to [''], one empty token).
+    import hashlib
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    def py_simhash(text):
+        toks = re.split(r"\s+", text.strip().lower())
+        sums = [0] * 60
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(60):
+                bit = (int(hx[j // 4], 16) >> (j % 4)) & 1
+                sums[j] += 1 if bit else -1
+        return sum((1 << j) for j in range(60) if sums[j] > 0)
+
+    random.seed(7)
+    words = ["alpha", "beta", "Gamma", "delta", "x1", "yz", "love", "q"]
+    rows = [(i, " ".join(random.choice(words) for _ in range(random.randint(0, 30))))
+            for i in range(30)]
+    rows += [(100, " ".join(random.choice(words) for _ in range(1500))),  # wide path
+             (101, "")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.simhash for r in
+           df.select("id", dedup.simhash(F.col("text"))).collect()}
+    assert all(got[i] == py_simhash(t) for i, t in rows)
+    # xxhash64 variant: packed fast path == wide fold on the same rows
+    fast = {r.id: r.simhash for r in
+            df.select("id", dedup.simhash(F.col("text"), "xxhash64")).collect()}
+    wide = {r.id: r.simhash for r in
+            df.select("id", dedup._simhash_wide(
+                dedup.tokens(F.col("text")), "xxhash64").alias("simhash")).collect()}
+    assert fast == wide

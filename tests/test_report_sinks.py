@@ -158,3 +158,23 @@ def test_html_report_empty_table(spark):
         reports.report_tables(empty, SPEC), "empty.csv")
     assert "Quality Control Report" in html
     assert "<b>0</b>" in html  # total_rows
+
+
+def test_cache_contracts_leave_no_state(spark, df):
+    # r2 verdict #5: profile_table / report_tables take the same
+    # caller-owned cache= contract as simhash_pairs — with cache=False no
+    # cached RDDs may remain after full evaluation
+    from dataqualitycontroltool_spark.operators import profiler
+
+    spark.catalog.clearCache()
+    t = reports.report_tables(df, SPEC, cache=False)
+    base = {k: [tuple(r) for r in v.collect()] for k, v in t.items()}
+    p = profiler.profile_table(df, SPEC, cache=False)
+    for v in p.values():
+        v.collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().isEmpty()
+    # cached variant computes the same tables (then clean up)
+    t2 = reports.report_tables(df, SPEC)
+    assert {k: [tuple(r) for r in v.collect()] for k, v in t2.items()} == base
+    spark.catalog.clearCache()
