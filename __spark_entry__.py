@@ -363,9 +363,17 @@ def q_scrub_documents(spark, sf_dir):
 
 def q_infer_schema_documents(spark, sf_dir):
     """I1-I9 (qcschema.py:64-145): sampled guesser + resolver vote on the
-    documents table, emitted as (field, miptype, ftype) rows.  The vote is
-    driver-side by design (bounded sample, reference default 100 rows) —
-    no SQL oracle; the driver records the rows-only check."""
+    documents table, emitted as (field, miptype, ftype) rows.
+
+    Driver-side BY DESIGN, permanently: the reference infers from a
+    bounded sample (default 100 rows — a constant-size input regardless of
+    corpus scale), and the resolver is a sequential priority vote over that
+    sample whose tie-breaks depend on aggregate state across all sampled
+    values (uniques set, NaN accumulation) — distributing a 100-row
+    computation would add a shuffle to save microseconds.  The per-VALUE
+    guesser is separately exercised distributed (tests/test_inference.py
+    golden vs reference test_qcschema).  No SQL oracle: the vote has no
+    SQL twin; the driver records the rows-only check."""
     from dataqualitycontroltool_spark.inference import infer_table_spec
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -592,7 +600,13 @@ def _dicom_fixture(spark):
     for i in range(45):
         rows.append(("f2", f"d{i:03}.dcm",
                      bytearray(dcm.encode_dicom(tags("P2", "ST2", 2, i, px=("2.0", "2.0"))))))
-    return spark.createDataFrame(rows, "folder string, file string, content binary")
+    # partitioning sized from the data (~64 files/task — the same rule
+    # synth_dicom_frame uses), not defaultParallelism: 32 near-empty decode
+    # tasks cost pure scheduling at fixture scale (cf. CC's edge-count rule)
+    n_parts = max(1, min(len(rows) // 64, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        rows, "folder string, file string, content binary"
+    ).coalesce(n_parts)
 
 
 def q_dicom_sequence_report(spark, sf_dir):
@@ -603,11 +617,11 @@ def q_dicom_sequence_report(spark, sf_dir):
     the specification (reference-derived, see tests/test_dicom.py)."""
     from dataqualitycontroltool_spark.sources import dicom as dcm
 
-    # the fixture is 146 files: 2 partitions (not defaultParallelism), and
+    # partitioning is sized inside the fixture (~64 files/task);
     # localCheckpoint the decoded headers — sequence_table references them
     # several times (sizes/consensus/fallback) and would otherwise re-run
     # the decode UDF per reference
-    headers = dcm.decode_headers(_dicom_fixture(spark).coalesce(2))
+    headers = dcm.decode_headers(_dicom_fixture(spark))
     seq = dcm.sequence_table(headers.localCheckpoint())
     return seq.select(
         "folder", "PatientID", "StudyID", "SeriesNumber", "Slices",

@@ -56,9 +56,28 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "graft": _graft_throughput(spark, cpus),
+        "dicom_10k": _dicom_scale(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }))
+
+
+def _dicom_scale(spark, n_files: int = 10_000) -> dict:
+    """The full DICOM report plan (decode → consensus → 5 report tables)
+    at a 10k-file synthetic tree — verifies the melt/consensus plan and the
+    files-per-task partition sizing hold beyond the 146-file fixture."""
+    from dataqualitycontroltool_spark.sources import dicom as dcm
+
+    files = dcm.synth_dicom_frame(spark, n_files, invalid_every=997)
+    t0 = time.perf_counter()
+    headers = dcm.decode_headers(files).localCheckpoint()
+    reps = dcm.dicom_report_tables(headers)
+    counts = {k: v.count() for k, v in reps.items()}
+    wall = time.perf_counter() - t0
+    return {"files": n_files, "wall_s": round(wall, 2),
+            "files_per_sec": round(n_files / wall, 1),
+            "valid_seqs": counts["validsequences"],
+            "invalid_seqs": counts["invalidsequences"]}
 
 
 def _graft_throughput(spark, cpus: int, rows: int = 8000) -> dict:

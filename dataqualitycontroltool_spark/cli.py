@@ -69,6 +69,26 @@ def cmd_infer(args) -> int:
     with open(args.out, "w") as f:
         json.dump(spec.to_descriptor(), f, indent=2)
     print(f"inferred schema ({len(spec.fields)} fields) -> {args.out}")
+    if args.dc_xlsx:
+        # reference parity: infercsv can emit the schema as a Data
+        # Catalogue workbook (inferschema.py:71-73), with CDE-suggested
+        # conceptPaths when a dictionary is given (inferschema.py:55-69)
+        import os
+
+        from dataqualitycontroltool_spark.sinks.dcexport import (
+            export_dc_xlsx, suggest_cdes_for_spec,
+        )
+
+        suggestions = None
+        if args.cde_dict:
+            from dataqualitycontroltool_spark.cde import CdeDict
+
+            load = CdeDict.from_xlsx if args.cde_dict.endswith(".xlsx") else CdeDict.from_csv
+            suggestions = suggest_cdes_for_spec(spec, load(args.cde_dict))
+        export_dc_xlsx(spec.to_descriptor(), args.dc_xlsx,
+                       csvname=os.path.basename(args.data),
+                       cde_suggestions=suggestions)
+        print(f"DC workbook -> {args.dc_xlsx}")
     return 0
 
 
@@ -104,6 +124,13 @@ def cmd_dicom(args) -> int:
         pdf = df.toPandas()
         pdf.to_csv(os.path.join(args.report_folder, f"{name}.csv"), index=False)
         counts[name] = len(pdf)
+    if args.loris_out:
+        # reference `qctool dicom --loris_folder <folder>` (cli.py:95-122 →
+        # dicomreport.py:161-184): copy valid-sequence files into the
+        # LORIS import layout
+        os.makedirs(args.loris_out, exist_ok=True)
+        counts["loris_copied"] = dcm.reorganize_files(
+            dcm.loris_manifest(headers), args.dicom_folder, args.loris_out)
     print(json.dumps(counts))
     return 0
 
@@ -149,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("out")
     i.add_argument("--sample-rows", type=int, default=100)
     i.add_argument("--max-levels", type=int, default=10)
+    i.add_argument("--dc-xlsx", default=None,
+                   help="also export the inferred schema as a Data Catalogue workbook")
+    i.add_argument("--cde-dict", default=None,
+                   help="CDE dictionary (xlsx/csv) for conceptPath suggestions")
     i.set_defaults(fn=cmd_infer)
 
     f = sub.add_parser("filter", help="checkpoint-resumable image quality filter")
@@ -160,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dicom", help="MRI DICOM validation report (reference: qctool dicom)")
     d.add_argument("dicom_folder")
     d.add_argument("report_folder")
+    d.add_argument("--loris-out", default=None,
+                   help="also reorganize valid-sequence files for LORIS import")
     d.set_defaults(fn=cmd_dicom)
 
     p = sub.add_parser("pyfiles", help="build the --py-files zip")

@@ -42,10 +42,11 @@ def check_bytes(data: bytes | None, fmt: str | None) -> tuple[bool, int | None, 
         return (False, None, None, None)
     h, w = img.shape[:2]
     if fmt in codecs.LOSSY_FORMATS:
-        # stub codec: round-trip == quantization (zlib is lossless), so skip
-        # the compress/decompress pair; with a real codec do the full loop
-        if codecs.HAVE_PIL:
-            rt = codecs.lossy_decode(codecs.lossy_encode(img, fmt), fmt)
+        # stub stream: round-trip == quantization (zlib is lossless), so
+        # skip the compress/decompress pair; a REAL bitstream (only
+        # decodable when PIL is present) gets the genuine encode+decode loop
+        if codecs.HAVE_PIL and bytes(data[:4]) != codecs._LOSSY_MAGIC[fmt]:
+            rt = codecs.pil_roundtrip(img, fmt)  # pragma: no cover — no PIL here
         else:
             rt = codecs.lossy_roundtrip(img)
         p = codecs.psnr(img, rt)

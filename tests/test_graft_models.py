@@ -122,3 +122,45 @@ def test_scrub_duckdb_matches_python():
     got = [r[0] for r in con.execute(
         f"SELECT {scrub.scrub_sql('caption')} FROM t").fetchall()]
     assert got == [scrub.scrub_text(c) for c in caps]
+
+
+@pytest.mark.skipif(not codecs.HAVE_PIL, reason="PIL not installed — real-codec"
+                    " path validated whenever the environment provides it")
+def test_decode_check_real_jpeg_bitstream(spark):
+    # r2 verdict #8: the PSNR path against a GENUINE JPEG bitstream (the
+    # stub codecs only prove the plumbing).  Smooth gradient so quality-95
+    # JPEG stays well above the 40 dB bar.
+    import pandas as pd
+    from io import BytesIO
+
+    from PIL import Image
+
+    from dataqualitycontroltool_spark.graft import decode as dec
+
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([(x * 2) % 256, (y * 2) % 256, ((x + y)) % 256],
+                   axis=-1).astype(np.uint8)
+    buf = BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+    assert data[:2] == b"\xff\xd8"  # real JPEG SOI, not the stub magic
+
+    ok, w, h, psnr_db = dec.check_bytes(data, "jpeg")
+    assert ok and (w, h) == (64, 64)
+    assert psnr_db >= 40.0
+    # and through the Spark UDF surface
+    df = spark.createDataFrame(pd.DataFrame({"bytes": [data], "fmt": ["jpeg"]}))
+    row = df.select(dec.decode_check("bytes", "fmt").alias("c")).collect()[0].c
+    assert row.decode_ok and row.dec_w == 64
+
+
+def test_real_lossy_bitstream_without_pil_is_explicit_error():
+    # a genuine JPEG without a codec library must raise, never return
+    # silent garbage (and check_bytes must map that to decode_ok=False)
+    from dataqualitycontroltool_spark.graft import decode as dec
+
+    fake_real_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if not codecs.HAVE_PIL:
+        with pytest.raises(ValueError, match="no codec library"):
+            codecs.decode(fake_real_jpeg, "jpeg")
+    assert dec.check_bytes(fake_real_jpeg, "jpeg")[0] is False

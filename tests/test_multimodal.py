@@ -80,3 +80,42 @@ def test_video_frame_sampling(spark):
     assert dec.shape == (16, 16, 3)
     # lossy stub round-trip stays within the quantization error bound
     assert np.abs(dec.astype(int) - frames[0].astype(int)).max() <= codecs.LOSSY_STEP
+
+
+def test_image_features_match_independent_reimplementation(spark):
+    # r2 verdict #10: strengthen the multimodal golden — the block-mean
+    # embedding recomputed here from the documented contract (NN-sample to
+    # grid*8 square, per-cell/channel mean, L2 norm) with loop-style numpy,
+    # NOT the operator's vectorized code path
+    import numpy as np
+
+    from dataqualitycontroltool_spark.graft import codecs
+    from dataqualitycontroltool_spark.graft.synth import generate_images
+
+    def independent_features(img, grid=4):
+        H, W = img.shape[:2]
+        size = grid * 8
+        acc = np.zeros((grid, grid, 3), np.float64)
+        for yy in range(size):
+            sy = min(int(yy * H / size), H - 1)
+            for xx in range(size):
+                sx = min(int(xx * W / size), W - 1)
+                acc[yy // 8, xx // 8] += img[sy, sx].astype(np.float64)
+        v = (acc / 64.0).reshape(-1)
+        n = np.sqrt((v * v).sum())
+        return (v / n if n > 0 else v).astype(np.float32)
+
+    imgs = generate_images(spark, 12, n_partitions=2)
+    got = {
+        r.image_id: np.array(r.emb, np.float32)
+        for r in imgs.select(
+            "image_id",
+            mm.image_features(F.col("bytes"), F.col("fmt"), grid=4).alias("emb"),
+        ).where(F.col("emb").isNotNull()).collect()
+    }
+    raw = {r.image_id: (bytes(r.bytes), r.fmt) for r in imgs.collect()}
+    assert len(got) >= 10
+    for iid, emb in got.items():
+        data, fmt = raw[iid]
+        expected = independent_features(codecs.decode(data, fmt))
+        assert np.allclose(emb, expected, atol=1e-5), iid
