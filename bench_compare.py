@@ -42,10 +42,13 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=0.25)
     args = ap.parse_args()
-    with open(args.old) as f:
-        old = json.load(f)
-    with open(args.new) as f:
-        new = json.load(f)
+    def load(path: str) -> dict:
+        with open(path) as f:
+            d = json.load(f)
+        # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+        return d["parsed"] if "queries" not in d and "parsed" in d else d
+
+    old, new = load(args.old), load(args.new)
     result = compare(old, new, args.threshold)
     print(json.dumps(result, indent=2))
     return 1 if result["regressions"] else 0
