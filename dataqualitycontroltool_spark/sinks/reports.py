@@ -60,7 +60,44 @@ def report_tables(
     four tables aggregate it; the CALLER owns the cache lifecycle
     (unpersist / ``spark.catalog.clearCache()`` / session teardown — same
     contract as ``dedup.simhash_pairs``).  ``cache=False`` leaves no
-    cached state and recomputes the validation scan per table."""
+    cached state and recomputes the validation scan per table.
+
+    Spec fields absent from the table are NOT an error: like the
+    reference (tablereport.py:207-208 'Missing columns'/'Extra columns'
+    General rows over ``actual_headers``), validation runs on the header
+    intersection and the set differences are reported in ``general``."""
+    missing = [f.name for f in spec.fields if f.name not in df.columns]
+    extra = [c for c in df.columns if c not in spec.field_names]
+    if missing:
+        spec = TableSpec(
+            fields=tuple(f for f in spec.fields if f.name in df.columns),
+            primary_key=spec.primary_key,
+            missing_values=spec.missing_values,
+        )
+    if not spec.fields:
+        # no spec field exists in the table: emit a valid (empty-bodied)
+        # report rather than failing mid-aggregate
+        spark = df.sparkSession
+        return {
+            "general": df.agg(
+                F.count(F.lit(1)).alias("total_rows"),
+                F.lit(len(df.columns)).alias("total_columns"),
+                F.lit(0).alias("fields_checked"),
+                F.lit(0).cast("long").alias("total_violations"),
+                F.lit(",".join(missing)).alias("missing_columns"),
+                F.lit(",".join(extra)).alias("extra_columns"),
+            ),
+            "row_stats": spark.createDataFrame(
+                [], "key string, kind string, rows long"),
+            "column_stats": spark.createDataFrame(
+                [], "field string, nulls long, valid long, "
+                    "dtype_violations long, constraint_violations long, "
+                    "total_rows long, filled_pct double"),
+            "corrections": spark.createDataFrame(
+                [], "field string, value string, suggestion string, "
+                    "violation string, n_occurrences long"),
+        }
+
     plan = ValidationPlan(spec)
     validated = plan.apply(df, derive=("status", "suggestion"))
     if cache:
@@ -71,13 +108,19 @@ def report_tables(
         F.count(F.lit(1)).alias("total_rows"),
         F.lit(len(df.columns)).alias("total_columns"),
         F.lit(n_fields).alias("fields_checked"),
-        reduce(
-            add,
-            [
-                F.sum((F.col(f"{f.name}__status") != "valid").cast("long"))
-                for f in spec.fields
-            ],
+        (
+            reduce(
+                add,
+                [
+                    F.sum((F.col(f"{f.name}__status") != "valid").cast("long"))
+                    for f in spec.fields
+                ],
+            )
+            if spec.fields
+            else F.lit(0).cast("long")
         ).alias("total_violations"),
+        F.lit(",".join(missing)).alias("missing_columns"),
+        F.lit(",".join(extra)).alias("extra_columns"),
     )
 
     flags = plan.row_flags(validated)

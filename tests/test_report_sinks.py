@@ -178,3 +178,137 @@ def test_cache_contracts_leave_no_state(spark, df):
     t2 = reports.report_tables(df, SPEC)
     assert {k: [tuple(r) for r in v.collect()] for k, v in t2.items()} == base
     spark.catalog.clearCache()
+
+
+def _pdf_xref_offsets(data: bytes) -> list[int]:
+    """Parse the xref table of a single-xref PDF; return in-use offsets."""
+    at = data.rindex(b"startxref")
+    xref_pos = int(data[at:].split()[1])
+    assert data[xref_pos:xref_pos + 4] == b"xref"
+    lines = data[xref_pos:].split(b"\n")
+    first, count = (int(x) for x in lines[1].split())
+    offsets = []
+    for i, line in enumerate(lines[2:2 + count]):
+        off, _gen, kind = line.split()
+        if kind == b"n":
+            offsets.append((first + i, int(off)))
+    return offsets
+
+
+def test_pdf_report_structure_and_content(df, tmp_path):
+    # S8 (printpdf parity): the from-scratch PDF writer must produce a
+    # structurally valid PDF 1.4 (header, xref offsets that land on their
+    # objects, trailer) whose uncompressed content streams carry the same
+    # sections as the HTML report
+    from dataqualitycontroltool_spark.sinks import pdf
+
+    out = str(tmp_path / "report.pdf")
+    pdf.write_pdf_report(df, SPEC, out, dataset="mytable.csv",
+                         source="/data/mytable.csv",
+                         date_run="01/01/2024 10:00:00")
+    data = open(out, "rb").read()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    offsets = _pdf_xref_offsets(data)
+    assert len(offsets) >= 5  # catalog, pages, 2 fonts, >=1 page + stream
+    for num, off in offsets:
+        assert data[off:].startswith(b"%d 0 obj" % num)
+    # content is uncompressed by design: sections and values are greppable
+    for needle in [b"Quality Control Report", b"Row statistics",
+                   b"Column statistics", b"Cleaning suggestions",
+                   b"mytable.csv", b"01/01/2024 10:00:00", b"28.57"]:
+        assert needle in data, needle
+    # parenthesis escaping: the source path renders inside a literal string
+    assert b"/data/mytable.csv" in data
+
+
+def test_pdf_report_deterministic_and_empty(spark, df):
+    from dataqualitycontroltool_spark.sinks import pdf
+
+    t = reports.report_tables(df, SPEC)
+    a = pdf.render_pdf_report(t, "mytable.csv")
+    b = pdf.render_pdf_report(reports.report_tables(df, SPEC), "mytable.csv")
+    assert a == b and b"Run:" not in a
+    # empty input still renders (same guard as the HTML sink)
+    empty = spark.createDataFrame([], "code string, n string")
+    out = pdf.render_pdf_report(reports.report_tables(empty, SPEC), "e.csv")
+    assert out.startswith(b"%PDF-1.4") and b"Quality Control Report" in out
+
+
+def test_pdf_string_escaping_and_pagination():
+    from dataqualitycontroltool_spark.sinks.pdf import _ReportLayout, _build_pdf
+
+    lay = _ReportLayout()
+    lay.text("paren (x) and \\backslash")
+    for i in range(200):  # force >1 page
+        lay.text(f"line {i}")
+    data = _build_pdf(lay)
+    assert b"paren \\(x\\) and \\\\backslash" in data
+    assert data.count(b"/Type /Page ") >= 2
+    for num, off in _pdf_xref_offsets(data):
+        assert data[off:].startswith(b"%d 0 obj" % num)
+
+
+def test_xlsx_report_bar_charts(df, tmp_path):
+    # S7 charts (tablereport.py:239-260): two DrawingML bar charts anchored
+    # on the Row Statistics sheet, ranges matching the sheet's data rows
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from dataqualitycontroltool_spark.sinks import xlsx
+
+    out = str(tmp_path / "report.xlsx")
+    xlsx.write_xlsx_report(df, SPEC, out, dataset="mytable.csv")
+    ns_c = "{http://schemas.openxmlformats.org/drawingml/2006/chart}"
+    ns_m = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(out) as z:
+        names = set(z.namelist())
+        assert {"xl/charts/chart1.xml", "xl/charts/chart2.xml",
+                "xl/drawings/drawing1.xml",
+                "xl/drawings/_rels/drawing1.xml.rels",
+                "xl/worksheets/_rels/sheet2.xml.rels"} <= names
+        # content types declare the chart/drawing parts
+        ct = z.read("[Content_Types].xml").decode()
+        assert "drawingml.chart+xml" in ct and "officedocument.drawing+xml" in ct
+        # sheet2 carries the drawing hook and its rel resolves
+        s2 = ET.fromstring(z.read("xl/worksheets/sheet2.xml"))
+        assert s2.find("m:drawing", ns_m) is not None
+        # count data rows per kind on the sheet itself
+        texts = [t.text for t in s2.findall(".//m:is/m:t", ns_m)]
+        n_hist = texts.count("rows_per_valid_count")
+        n_band = texts.count("valid_pct_band")
+        assert n_hist > 0 and n_band > 0
+        c1 = ET.fromstring(z.read("xl/charts/chart1.xml"))
+        val_ref = c1.find(f".//{ns_c}ser/{ns_c}val/{ns_c}numRef/{ns_c}f").text
+        assert val_ref == f"'Row Statistics'!$C$2:$C${1 + n_hist}"
+        cat_ref = c1.find(f".//{ns_c}ser/{ns_c}cat/{ns_c}strRef/{ns_c}f").text
+        assert cat_ref == f"'Row Statistics'!$B$2:$B${1 + n_hist}"
+        c2 = ET.fromstring(z.read("xl/charts/chart2.xml"))
+        val2 = c2.find(f".//{ns_c}ser/{ns_c}val/{ns_c}numRef/{ns_c}f").text
+        assert val2 == f"'Row Statistics'!$C${2 + n_hist}:$C${1 + n_hist + n_band}"
+        # bar direction matches the reference's BarChart(type='bar')
+        assert c1.find(f".//{ns_c}barDir").get("val") == "bar"
+        # drawing references both charts
+        rels = z.read("xl/drawings/_rels/drawing1.xml.rels").decode()
+        assert "charts/chart1.xml" in rels and "charts/chart2.xml" in rels
+
+
+def test_report_tables_header_mismatch(spark):
+    # tablereport.py:207-208 parity: spec fields absent from the table are
+    # reported as missing columns (and extra table columns as extra), not a
+    # mid-aggregate AnalysisException; validation runs on the intersection
+    df = spark.createDataFrame([("AA", "zz")], "code string, other string")
+    t = reports.report_tables(df, SPEC, cache=False)
+    g = t["general"].collect()[0]
+    assert g.missing_columns == "n" and g.extra_columns == "other"
+    assert g.fields_checked == 1 and g.total_violations == 0
+    assert {r.field for r in t["column_stats"].collect()} == {"code"}
+
+    # no overlap at all: degenerate but valid report (all four tables exist)
+    t2 = reports.report_tables(
+        spark.createDataFrame([("x",)], "unrelated string"), SPEC, cache=False)
+    g2 = t2["general"].collect()[0]
+    assert g2.missing_columns == "code,n" and g2.fields_checked == 0
+    assert t2["corrections"].count() == 0 and t2["row_stats"].count() == 0
+    from dataqualitycontroltool_spark.sinks import pdf
+    assert b"%PDF-1.4" in pdf.render_pdf_report(t2, "t")[:8]
