@@ -53,9 +53,30 @@ def cmd_validate(args) -> int:
         desc = frictionless_from_dc(desc)
     spec = TableSpec.from_descriptor(desc)
     df = _load_data(spark, args.data)
-    reports.write_report(df, spec, args.outdir)
+    reports.write_report(df, spec, args.outdir, threshold=args.outlier)
     if args.clean:
         reports.write_corrected_csv(df, spec, f"{args.outdir}/corrected_csv")
+    # rendered report formats (reference -r/--report xls|pdf, cli.py:35-37;
+    # html is this engine's extra) — renders reuse one validation pass each
+    import os
+
+    dataset = os.path.basename(args.data)
+    base = os.path.splitext(dataset)[0]
+    for fmt in args.report or []:
+        out = os.path.join(args.outdir, f"{base}_report.{fmt}")
+        if fmt == "xlsx":
+            from dataqualitycontroltool_spark.sinks import xlsx
+
+            xlsx.write_xlsx_report(df, spec, out, dataset=dataset)
+        elif fmt == "pdf":
+            from dataqualitycontroltool_spark.sinks import pdf
+
+            pdf.write_pdf_report(df, spec, out, dataset=dataset,
+                                 source=args.data)
+        else:
+            reports.write_html_report(df, spec, out, dataset=dataset,
+                                      source=args.data)
+        print(f"{fmt} report -> {out}")
     print(f"report tables written under {args.outdir}")
     return 0
 
@@ -169,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("schema")
     v.add_argument("outdir")
     v.add_argument("--clean", action="store_true", help="also write corrected CSV")
+    v.add_argument("-r", "--report", action="append",
+                   choices=["xlsx", "pdf", "html"], default=None,
+                   help="also render the report in this format (repeatable; "
+                        "reference -r/--report xls|pdf)")
+    v.add_argument("-o", "--outlier", type=float, default=3.0,
+                   help="outlier threshold in standard deviations")
     v.set_defaults(fn=cmd_validate)
 
     i = sub.add_parser("infer", help="schema inference (reference: qctool infercsv)")

@@ -147,15 +147,17 @@ def report_tables(
 
 
 def write_report(
-    df: DataFrame, spec: TableSpec, outdir: str, with_profiles: bool = True
+    df: DataFrame, spec: TableSpec, outdir: str, with_profiles: bool = True,
+    threshold: float = 3.0,
 ) -> None:
     """Write the four report tables (+ per-field MIPType profiles, the
     Excel report's Column Statistics detail) as parquet under
-    ``outdir/<name>/``."""
+    ``outdir/<name>/``.  ``threshold`` is the outlier cut in standard
+    deviations (reference ``--outlier``, cli.py:36-38)."""
     for name, table in report_tables(df, spec).items():
         table.write.mode("overwrite").parquet(f"{outdir}/{name}")
     if with_profiles:
-        for fname, prof in profiler.profile_table(df, spec).items():
+        for fname, prof in profiler.profile_table(df, spec, threshold=threshold).items():
             prof.write.mode("overwrite").parquet(f"{outdir}/profile_{fname}")
 
 

@@ -101,3 +101,21 @@ def test_dicom_cmd(spark, tmp_path, capsys):
     inv = (rep / "invalidsequences.csv").read_text()
     assert "minimum number of slices failure" in inv  # 1 slice < 40
     assert "junk.txt" in (rep / "notprocessed.csv").read_text()
+
+
+def test_validate_cmd_report_formats(spark, csv_path, tmp_path):
+    # reference -r/--report xls|pdf parity (+ html): rendered reports land
+    # next to the parquet tables with the <dataset>_report.<fmt> name
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps(SCHEMA))
+    out = tmp_path / "rep"
+    assert cli.main(["--cpus", "4", "validate", csv_path, str(schema),
+                     str(out), "-r", "xlsx", "-r", "pdf", "-r", "html",
+                     "--outlier", "2.5"]) == 0
+    xl = out / "d_report.xlsx"
+    assert zipfile.is_zipfile(xl)
+    with zipfile.ZipFile(xl) as z:
+        assert "xl/charts/chart1.xml" in z.namelist()
+    pdf_bytes = (out / "d_report.pdf").read_bytes()
+    assert pdf_bytes.startswith(b"%PDF-1.4") and b"d.csv" in pdf_bytes
+    assert "Quality Control Report" in (out / "d_report.html").read_text()
