@@ -495,6 +495,30 @@ def q_curate_documents(spark, sf_dir):
     return corpus.curate_documents(load_table(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_line_removal(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
+    distinct documents are boilerplate, removed from every document;
+    returns (doc_id, text_clean, n_lines, n_removed)."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    return corpus.remove_boilerplate_lines(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", min_docs=2
+    )
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Deterministic domain-mixing sampler: per-language keep fractions
+    decided by an md5-threshold Bernoulli on doc_id — replayable in any
+    engine, resumable without RNG state."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.stratified_sample(
+        docs, "doc_id", "lang", {"de": 1.0, "en": 0.5, "fr": 0.25}, seed="42"
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_multimodal_image_features(spark, sf_dir):
     """Multimodal path: synthesize a deterministic image batch (seed 42),
     decode + extract block-mean embeddings + ANN top-3 over them — exercises
@@ -682,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "decontaminate_documents": q_decontaminate_documents,
         "text_repetition": q_text_repetition,
+        "boilerplate_line_removal": q_boilerplate_line_removal,
+        "stratified_sample_documents": q_stratified_sample_documents,
     }
 
 
@@ -1294,6 +1320,45 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN near n ON n.doc_id = m.doc_id
             )
             SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM reasons
+        """,
+        "boilerplate_line_removal": """
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+              FROM split
+            ),
+            keyed AS (SELECT doc_id, pos, line, trim(line) AS line_key FROM lines),
+            hot AS (
+              SELECT line_key FROM (
+                SELECT line_key, count(*) AS n
+                FROM (SELECT DISTINCT line_key, doc_id FROM keyed
+                      WHERE line_key <> '')
+                GROUP BY 1
+              ) WHERE n >= 2
+            ),
+            flagged AS (
+              SELECT k.doc_id, k.pos, k.line, h.line_key IS NOT NULL AS boiler
+              FROM keyed k LEFT JOIN hot h USING (line_key)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_clean,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_removed
+            FROM flagged GROUP BY doc_id
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE CASE lang
+              WHEN 'de' THEN TRUE
+              WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)
+                             < '80000000'
+              WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)
+                             < '40000000'
+              ELSE FALSE END
         """,
         "consensus_cascade_events": """
             WITH daily AS (

@@ -100,3 +100,125 @@ def curation_lineage(curated: DataFrame) -> DataFrame:
         curated.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (C4 §2.2 / RefinedWeb-style
+    boilerplate removal): a non-blank line whose trimmed form occurs in
+    >= ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, footers) and is removed from EVERY document.  Blank lines are
+    layout, not content — never counted, never removed.
+
+    Returns (id, text_clean, n_lines, n_removed); a document whose every
+    line was boilerplate keeps an empty ``text_clean``, it is not dropped
+    (dropping is the curation gate's decision, not this operator's).
+
+    Scale shape: posexplode (map) → distinct (line_key, id) BEFORE the
+    document count, so a line repeated a million times inside one spam doc
+    contributes one row to the shuffle and one to the count; the
+    boilerplate table is then joined back to the exploded lines on
+    line_key as a plain equi-join (it is usually small — AQE broadcasts it
+    at runtime — but nothing breaks when a crawl's boilerplate set is
+    huge), and documents reassemble with one groupBy(id) using
+    position-sorted array_agg.  Three line-granularity shuffles total; a
+    pathologically hot key ("Subscribe now" in 10^9 docs) is one row on
+    the build side, and the probe side is AQE-skew-splittable.
+    """
+    c = F.col(text_col)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(c, r"\n")).alias("pos", "line"),
+    ).withColumn("line_key", F.trim(F.col("line")))
+
+    hot = (
+        lines.where(F.col("line_key") != "")
+        .select("line_key", id_col)
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .where(F.col("_n_docs") >= min_docs)
+        .select("line_key", F.lit(True).alias("_boiler"))
+    )
+
+    flagged = lines.join(hot, on="line_key", how="left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_boiler").cast("int")).alias("n_removed"),
+        )
+        .select(
+            id_col,
+            "text_clean",
+            "n_lines",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def sample_keep_expr(key, frac: float, seed: str = "42"):
+    """Deterministic Bernoulli(frac) keep decision from a hash of the key:
+    keep iff the first 8 hex chars of md5(key|seed) sort below the
+    fraction's hex threshold.  Fixed-length lowercase hex compares
+    lexicographically == numerically, so the SAME string comparison replays
+    in any engine with md5 — no RNG state, no engine-specific hash, and
+    re-running a resumed job re-makes identical decisions (the property a
+    checkpoint-resumable sampler at 10^12 rows actually needs)."""
+    thresh = format(min(int(frac * (1 << 32)), (1 << 32) - 1), "08x")
+    if frac >= 1.0:
+        return F.lit(True)
+    if frac <= 0.0:
+        return F.lit(False)
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + seed))), 1, 8)
+    return h < F.lit(thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict,
+    seed: str = "42",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified (domain-mixing) sampler: keep each row with
+    its stratum's probability, decided by :func:`sample_keep_expr` on the
+    row id — the temperature-sampling building block of LLM data mixes
+    (up/down-weighting sources or languages).
+
+    Pure projection + filter: no shuffle, no driver state, no sampleBy
+    (whose RNG is partition-order-dependent and unreplayable cross-engine);
+    pushes the stratum filter into the scan when ``strata_col`` is a
+    partition column.  Rows in strata missing from ``fractions`` keep with
+    ``default_frac``."""
+    expr = F.lit(None).cast("boolean")
+    keep = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        kexpr = sample_keep_expr(F.col(id_col), frac, seed)
+        keep = F.when(cond, kexpr) if keep is None else keep.when(cond, kexpr)
+    expr = (
+        keep.otherwise(sample_keep_expr(F.col(id_col), default_frac, seed))
+        if keep is not None
+        else sample_keep_expr(F.col(id_col), default_frac, seed)
+    )
+    return df.where(expr)

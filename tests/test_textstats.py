@@ -199,3 +199,77 @@ def test_decontamination_and_repetition_match_python_ground_truth(spark):
     got_tb = {r.doc_id: r.top_bigram_frac for r in
               textstats.repetition_stats(df, "doc_id", "text").collect()}
     assert got_tb == want_tb
+
+
+def test_remove_boilerplate_lines(spark):
+    # C4-style corpus-level line dedup: a line in >=2 DISTINCT docs is
+    # removed everywhere; within-doc repetition alone does not qualify;
+    # blank lines are layout and survive
+    from dataqualitycontroltool_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "Subscribe now\nunique alpha\n\nunique beta"),
+            (2, "Subscribe now\nother text"),
+            (3, "repeated inside\nrepeated inside\nsolo line"),
+            (4, "Subscribe now"),  # everything boilerplate -> empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           corpus.remove_boilerplate_lines(df, "doc_id", "text").collect()}
+    assert out[1].text_clean == "unique alpha\n\nunique beta"
+    assert out[1].n_lines == 4 and out[1].n_removed == 1
+    assert out[2].text_clean == "other text"
+    # within-doc duplicate is NOT corpus boilerplate (distinct-doc count = 1)
+    assert out[3].text_clean == "repeated inside\nrepeated inside\nsolo line"
+    assert out[3].n_removed == 0
+    assert out[4].text_clean == "" and out[4].n_removed == 1
+
+    # trimmed-form matching: '  Subscribe now  ' in doc 5 keys with doc 1/2/4
+    df2 = df.union(spark.createDataFrame(
+        [(5, "  Subscribe now  \nkeep me")], "doc_id long, text string"))
+    out2 = {r.doc_id: r for r in
+            corpus.remove_boilerplate_lines(df2, "doc_id", "text").collect()}
+    assert out2[5].text_clean == "keep me" and out2[5].n_removed == 1
+
+
+def test_stratified_sample_deterministic(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept = corpus.stratified_sample(df, "doc_id", "lang",
+                                    {"en": 0.5, "fr": 0.1}).collect()
+    again = corpus.stratified_sample(df, "doc_id", "lang",
+                                     {"en": 0.5, "fr": 0.1}).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+    n_en = sum(1 for r in kept if r.lang == "en")
+    n_fr = sum(1 for r in kept if r.lang == "fr")
+    assert 400 <= n_en <= 600      # ~500 of 1000
+    assert 50 <= n_fr <= 150       # ~100 of 1000
+    # boundary fractions and missing strata
+    assert corpus.stratified_sample(df, "doc_id", "lang", {"en": 1.0}).count() == 1000
+    assert corpus.stratified_sample(
+        df, "doc_id", "lang", {"en": 1.0}, default_frac=1.0).count() == 2000
+    # a different seed makes different (but again deterministic) choices
+    other = corpus.stratified_sample(df, "doc_id", "lang",
+                                     {"en": 0.5, "fr": 0.1}, seed="7").collect()
+    assert sorted(r.doc_id for r in other) != sorted(r.doc_id for r in kept)
+
+
+def test_stratified_sample_nested_decisions(spark):
+    # subset property of the hash threshold: the 25% sample is a strict
+    # subset of the 50% sample under the same seed — the property that lets
+    # a pipeline re-shard a mix without re-drawing decisions
+    from dataqualitycontroltool_spark.operators import corpus
+
+    df = spark.createDataFrame([(i, "en") for i in range(1000)],
+                               "doc_id long, lang string")
+    half = {r.doc_id for r in
+            corpus.stratified_sample(df, "doc_id", "lang", {"en": 0.5}).collect()}
+    quarter = {r.doc_id for r in
+               corpus.stratified_sample(df, "doc_id", "lang", {"en": 0.25}).collect()}
+    assert quarter <= half
