@@ -53,11 +53,16 @@ def cmd_validate(args) -> int:
         desc = frictionless_from_dc(desc)
     spec = TableSpec.from_descriptor(desc)
     df = _load_data(spark, args.data)
-    reports.write_report(df, spec, args.outdir, threshold=args.outlier)
+    # ONE validation pass shared by the parquet tables and every rendered
+    # format (report_tables caches the validated frame; this command owns
+    # that cache and releases it at the end)
+    tables = reports.report_tables(df, spec)
+    reports.write_report(df, spec, args.outdir, threshold=args.outlier,
+                         tables=tables)
     if args.clean:
         reports.write_corrected_csv(df, spec, f"{args.outdir}/corrected_csv")
     # rendered report formats (reference -r/--report xls|pdf, cli.py:35-37;
-    # html is this engine's extra) — renders reuse one validation pass each
+    # html is this engine's extra)
     import os
 
     dataset = os.path.basename(args.data)
@@ -67,16 +72,18 @@ def cmd_validate(args) -> int:
         if fmt == "xlsx":
             from dataqualitycontroltool_spark.sinks import xlsx
 
-            xlsx.write_xlsx_report(df, spec, out, dataset=dataset)
+            xlsx.write_xlsx_report(df, spec, out, dataset=dataset,
+                                   tables=tables)
         elif fmt == "pdf":
             from dataqualitycontroltool_spark.sinks import pdf
 
             pdf.write_pdf_report(df, spec, out, dataset=dataset,
-                                 source=args.data)
+                                 source=args.data, tables=tables)
         else:
             reports.write_html_report(df, spec, out, dataset=dataset,
-                                      source=args.data)
+                                      source=args.data, tables=tables)
         print(f"{fmt} report -> {out}")
+    spark.catalog.clearCache()
     print(f"report tables written under {args.outdir}")
     return 0
 

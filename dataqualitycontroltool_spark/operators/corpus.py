@@ -183,11 +183,11 @@ def sample_keep_expr(key, frac: float, seed: str = "42"):
     in any engine with md5 — no RNG state, no engine-specific hash, and
     re-running a resumed job re-makes identical decisions (the property a
     checkpoint-resumable sampler at 10^12 rows actually needs)."""
-    thresh = format(min(int(frac * (1 << 32)), (1 << 32) - 1), "08x")
     if frac >= 1.0:
         return F.lit(True)
     if frac <= 0.0:
         return F.lit(False)
+    thresh = format(int(frac * (1 << 32)), "08x")
     h = F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + seed))), 1, 8)
     return h < F.lit(thresh)
 
@@ -210,7 +210,6 @@ def stratified_sample(
     pushes the stratum filter into the scan when ``strata_col`` is a
     partition column.  Rows in strata missing from ``fractions`` keep with
     ``default_frac``."""
-    expr = F.lit(None).cast("boolean")
     keep = None
     for stratum, frac in sorted(fractions.items()):
         cond = F.col(strata_col) == stratum

@@ -201,14 +201,19 @@ def profile_table(
     lifecycle (unpersist / ``spark.catalog.clearCache()`` / session
     teardown — same contract as ``dedup.simhash_pairs``).  ``cache=False``
     leaves no cached state: each profile recomputes the validation scan —
-    prefer it when fields are profiled one-off at corpus scale."""
+    prefer it when fields are profiled one-off at corpus scale.
+
+    Spec fields absent from the table are skipped (no profile entry) —
+    same header-intersection tolerance as ``report_tables``; the missing
+    set is the report's job to surface, not an AnalysisException here."""
     from dataqualitycontroltool_spark.plans.compiler import ValidationPlan
 
+    present = [f for f in spec.fields if f.name in df.columns]
     validated = ValidationPlan(spec).apply(df, derive=("cast",))
     if cache:
         validated = validated.cache()
     out = {}
-    for f in spec.fields:
+    for f in present:
         col = f"{f.name}__cast"
         sub = validated.where(F.col(col).isNotNull()).select(F.col(col).alias(f.name))
         if f.miptype == "numerical":

@@ -186,10 +186,12 @@ def render_pdf_report(
 
     ``date_run`` is caller-injected so default renders are deterministic
     and byte-diffable (same contract as the HTML sink)."""
+    from dataqualitycontroltool_spark.sinks.reports import row_stats_sort_key
+
     general = tables["general"].collect()[0].asDict()
     row_stats = sorted(
         (r.asDict() for r in tables["row_stats"].collect()),
-        key=lambda r: (r["kind"], str(r["key"])),
+        key=row_stats_sort_key,
     )
     total = general.get("total_rows") or 0
     for r in row_stats:
@@ -247,10 +249,13 @@ def write_pdf_report(
     dataset: str,
     source: str = "",
     date_run: str | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> None:
     """Validate + aggregate + render + write the PDF report to ``path``
     (``printpdf`` parity: one document; the per-column detail lives in the
-    Column statistics table)."""
-    pdf = render_pdf_report(report_tables(df, spec), dataset, source, date_run)
+    Column statistics table).  Pass precomputed ``tables`` to reuse one
+    validation pass across several report formats."""
+    pdf = render_pdf_report(tables or report_tables(df, spec),
+                            dataset, source, date_run)
     with open(path, "wb") as fh:
         fh.write(pdf)

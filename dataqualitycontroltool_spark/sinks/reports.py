@@ -146,15 +146,27 @@ def report_tables(
     }
 
 
+def row_stats_sort_key(r: dict):
+    """Deterministic display order for row_stats rows shared by the
+    HTML/PDF/XLSX renderers: within a kind, numeric keys sort numerically
+    (the rows-per-valid-count histogram must read 0,1,2,...,10 — not the
+    lexicographic 0,1,10,11,2 once a schema has 10+ fields), text band
+    labels after them lexically."""
+    k = str(r["key"])
+    return (r["kind"], (0, int(k)) if k.isdigit() else (1, k))
+
+
 def write_report(
     df: DataFrame, spec: TableSpec, outdir: str, with_profiles: bool = True,
-    threshold: float = 3.0,
+    threshold: float = 3.0, tables: dict[str, DataFrame] | None = None,
 ) -> None:
     """Write the four report tables (+ per-field MIPType profiles, the
     Excel report's Column Statistics detail) as parquet under
     ``outdir/<name>/``.  ``threshold`` is the outlier cut in standard
-    deviations (reference ``--outlier``, cli.py:36-38)."""
-    for name, table in report_tables(df, spec).items():
+    deviations (reference ``--outlier``, cli.py:36-38); pass a
+    precomputed ``tables`` dict to reuse one validation pass across
+    several sinks."""
+    for name, table in (tables or report_tables(df, spec)).items():
         table.write.mode("overwrite").parquet(f"{outdir}/{name}")
     if with_profiles:
         for fname, prof in profiler.profile_table(df, spec, threshold=threshold).items():
@@ -250,7 +262,7 @@ def render_html_report(
     general = tables["general"].collect()[0].asDict()
     row_stats = sorted(
         (r.asDict() for r in tables["row_stats"].collect()),
-        key=lambda r: (r["kind"], str(r["key"])),
+        key=row_stats_sort_key,
     )
     # percentage precomputed with a zero-row fallback: an empty input table
     # must still render a report, not ZeroDivisionError inside Jinja
@@ -286,8 +298,11 @@ def write_html_report(
     dataset: str,
     source: str = "",
     date_run: str | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> None:
-    """Validate + aggregate + render + write the HTML report to ``path``."""
-    html = render_html_report(report_tables(df, spec), dataset, source, date_run)
+    """Validate + aggregate + render + write the HTML report to ``path``.
+    Pass precomputed ``tables`` to reuse one validation pass."""
+    html = render_html_report(tables or report_tables(df, spec),
+                              dataset, source, date_run)
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(html)

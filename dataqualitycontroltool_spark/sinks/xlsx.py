@@ -249,18 +249,22 @@ def write_xlsx(
 
 
 def write_xlsx_report(df: DataFrame, spec: TableSpec, path: str,
-                      dataset: str = "") -> None:
+                      dataset: str = "",
+                      tables: dict[str, DataFrame] | None = None) -> None:
     """Validate + aggregate + write the four-sheet Excel report
     (tablereport.py:183-320 sheet set) with the two Row-Statistics bar
     charts (tablereport.py:239-260: rows-per-filled and rows-per-valid;
     here rows-per-valid-count and rows-per-valid-percentage-band, the
-    engine's two row-completeness breakdowns)."""
-    t = report_tables(df, spec)
+    engine's two row-completeness breakdowns).  Pass precomputed
+    ``tables`` to reuse one validation pass across several formats."""
+    from dataqualitycontroltool_spark.sinks.reports import row_stats_sort_key
+
+    t = tables or report_tables(df, spec)
     g = t["general"].collect()[0].asDict()
     general_rows = [["Dataset file", dataset]] + [[k, v] for k, v in g.items()]
     row_stats = sorted(
         (r.asDict() for r in t["row_stats"].collect()),
-        key=lambda r: (r["kind"], str(r["key"])),
+        key=row_stats_sort_key,
     )
     col_df = t["column_stats"]
     col_stats = sorted((r.asDict() for r in col_df.collect()),

@@ -343,18 +343,22 @@ def read_dicom_headers(spark, root: str) -> DataFrame:
     directories with the same basename must stay distinct grouping scopes,
     and the Folder column of invaliddicoms/notprocessed must locate the
     file for the user."""
-    import os
     import re
 
-    root_abs = os.path.abspath(root).rstrip("/")
+    # qualify the root EXACTLY the way binaryFile qualifies its `path`
+    # column (Hadoop Path semantics: scheme + authority + absolute path,
+    # e.g. file:/data, hdfs://nn/data) — string-prefix stripping then works
+    # for any filesystem, URI or plain local path, instead of hand-rolled
+    # scheme regexes that mangle authorities
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    root_q = fs.makeQualified(jpath).toString().rstrip("/")
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(root)
         .select("path", "content")
-        # strip the URI scheme (file:/a, file:///a, hdfs://nn/a → /a ...)
-        .withColumn("_p", F.regexp_replace("path", r"^[A-Za-z][A-Za-z0-9+.-]*:/{0,2}(/[^/].*)$", r"$1"))
-        .withColumn("_rel", F.regexp_replace("_p", "^" + re.escape(root_abs) + "/", ""))
+        .withColumn("_rel", F.regexp_replace("path", "^" + re.escape(root_q) + "/", ""))
         .select(
             F.regexp_extract("_rel", r"^(.*)/[^/]+$", 1).alias("folder"),
             F.regexp_extract("_rel", r"([^/]+)$", 1).alias("file"),

@@ -119,3 +119,21 @@ def test_validate_cmd_report_formats(spark, csv_path, tmp_path):
     pdf_bytes = (out / "d_report.pdf").read_bytes()
     assert pdf_bytes.startswith(b"%PDF-1.4") and b"d.csv" in pdf_bytes
     assert "Quality Control Report" in (out / "d_report.html").read_text()
+
+
+def test_validate_cmd_releases_cache(spark, csv_path, tmp_path):
+    # review fix: one validation pass shared across formats, and the
+    # command releases its cached frames before returning
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps(SCHEMA))
+
+    def persistent_ids():
+        # snapshot-compare, not isEmpty: other tests in the shared session
+        # may hold localCheckpoint RDDs that clearCache() never touches
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+        return {it.apply(i)._1() for i in range(it.size())}
+
+    before = persistent_ids()
+    assert cli.main(["--cpus", "4", "validate", csv_path, str(schema),
+                     str(tmp_path / "rep"), "-r", "pdf", "-r", "html"]) == 0
+    assert persistent_ids() <= before

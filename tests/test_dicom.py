@@ -343,3 +343,19 @@ def test_synth_dicom_frame_scales_and_reports(spark):
                     & (F.col("StudyID") == "ST000002")
                     & (F.col("SeriesNumber") == "1")).collect()[0]
     assert one.Slices == 50 and one.SeriesDescription == "T1 synthetic"
+
+
+def test_read_dicom_headers_uri_root(spark, tmp_path):
+    # review fix: a scheme-qualified root (file:/...) must produce the same
+    # root-relative folder keys as the plain path form — the root is
+    # qualified via Hadoop Path.makeQualified, exactly like binaryFile's
+    # path column, instead of regex scheme-stripping (which mangled
+    # authorities and broke the root-prefix strip)
+    root = tmp_path / "tree"
+    d = root / "siteA" / "ser1"
+    d.mkdir(parents=True)
+    (d / "x.dcm").write_bytes(dcm.encode_dicom(_slice_tags("P1", "ST1", 1, 1)))
+    for uri in (str(root), f"file:{root}", f"file://{root}"):
+        got = [(r.folder, r.file)
+               for r in dcm.read_dicom_headers(spark, uri).collect()]
+        assert got == [("siteA/ser1", "x.dcm")], uri

@@ -312,3 +312,27 @@ def test_report_tables_header_mismatch(spark):
     assert t2["corrections"].count() == 0 and t2["row_stats"].count() == 0
     from dataqualitycontroltool_spark.sinks import pdf
     assert b"%PDF-1.4" in pdf.render_pdf_report(t2, "t")[:8]
+
+
+def test_write_report_with_missing_spec_field(spark, tmp_path):
+    # review fix: write_report (which profiles via profile_table) must
+    # tolerate spec fields absent from the table, same as report_tables
+    df = spark.createDataFrame([("AA",)], "code string")
+    reports.write_report(df, SPEC, str(tmp_path / "rep"))
+    cs = spark.read.parquet(str(tmp_path / "rep" / "column_stats"))
+    assert {r.field for r in cs.collect()} == {"code"}
+    assert (tmp_path / "rep" / "profile_code").exists()
+    assert not (tmp_path / "rep" / "profile_n").exists()
+    spark.catalog.clearCache()  # caller-owned cache contract
+
+
+def test_row_stats_sort_key_numeric_order():
+    rows = [{"kind": "rows_per_valid_count", "key": str(k)}
+            for k in (0, 1, 2, 10, 11)] + [
+           {"kind": "valid_pct_band", "key": "75-99%"},
+           {"kind": "valid_pct_band", "key": "100%"}]
+    import random
+    random.Random(1).shuffle(rows)
+    got = [r["key"] for r in sorted(rows, key=reports.row_stats_sort_key)]
+    # numeric keys numerically (0,1,2,10,11 — not 0,1,10,11,2), bands after
+    assert got == ["0", "1", "2", "10", "11", "100%", "75-99%"]
