@@ -263,28 +263,58 @@ class _Parser:
             return _CMP[val](left, right), None
         return left, raw
 
+    @staticmethod
+    def _fold(raw, rraw, op):
+        """Driver-side constant folding for literal-literal arithmetic in
+        Python (arbitrary precision) — matches the reference's pure-Python
+        evaluation, where e.g. a product of int literals never overflows
+        the way a chain of int32 Spark literals would under ANSI mode.
+        Returns the folded Python value, or None when not foldable."""
+        if not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                   for v in (raw, rraw)):
+            return None
+        if op == "+":
+            return raw + rraw
+        if op == "-":
+            return raw - rraw
+        if op == "*":
+            return raw * rraw
+        if op == "/" and rraw != 0:  # /0 keeps SQL semantics (NULL, not raise)
+            return raw / rraw  # Spark and Python / are both true division
+        return None
+
     def term(self):
         left, raw = self.factor()
         while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
             _, op = self.take()
-            right, _ = self.factor()
-            left = left + right if op == "+" else left - right
-            raw = None
+            right, rraw = self.factor()
+            folded = self._fold(raw, rraw, op)
+            if folded is not None:
+                left, raw = F.lit(folded), folded
+            else:
+                left = left + right if op == "+" else left - right
+                raw = None
         return left, raw
 
     def factor(self):
         left, raw = self.unary()
         while self.peek() == ("op", "*") or self.peek() == ("op", "/"):
             _, op = self.take()
-            right, _ = self.unary()
-            left = left * right if op == "*" else left / right
-            raw = None
+            right, rraw = self.unary()
+            folded = self._fold(raw, rraw, op)
+            if folded is not None:
+                left, raw = F.lit(folded), folded
+            else:
+                left = left * right if op == "*" else left / right
+                raw = None
         return left, raw
 
     def unary(self):
         if self.peek() == ("op", "-"):
             self.take()
-            inner, _ = self.unary()
+            inner, iraw = self.unary()
+            if isinstance(iraw, (int, float)) and not isinstance(iraw, bool):
+                return F.lit(-iraw), -iraw
             return -inner, None
         return self.atom()
 
