@@ -4,16 +4,19 @@ The container ships no imaging library (no PIL/opencv/libjpeg), so:
 
 * ``png``  — a REAL minimal PNG codec (RGB8, zlib, filter types 0-4 on
   decode, filter 0 on encode).  Output is readable by any PNG reader.
-* ``jpeg`` / ``webp`` — DETERMINISTIC STAND-IN lossy codecs: uniform
-  channel quantization (step ``LOSSY_STEP``) + zlib.  This is NOT the real
-  JPEG/WebP bitstream — it is a clearly-marked stub that preserves the
-  property the pipeline verifies (decode(encode(x)) ≈ x with
-  PSNR ≥ 40 dB, see BASELINE.json input_hint).  If a real codec library is
-  present (PIL), it is used instead — gated behind an import-try.
+* ``jpeg`` — TWO paths: a REAL baseline T.81/JFIF codec in pure numpy
+  (`graft/jpeg.py` — genuine bitstreams, readable by any JPEG decoder) for
+  any stream starting with the SOI marker, and a DETERMINISTIC STAND-IN
+  (uniform quantization step ``LOSSY_STEP`` + zlib, magic ``QJPG``) that
+  remains the synthetic-data default for bench continuity.  Both preserve
+  the property the pipeline verifies (decode(encode(x)) ≈ x with
+  PSNR ≥ 40 dB, see BASELINE.json input_hint).
+* ``webp`` — stand-in only (a real VP8 codec is out of scope); real WebP
+  bitstreams require PIL, gated behind an import-try.
 
 The Spark-side plumbing (binary column, Arrow-batched decode UDF, PSNR
-validation, dimension checks) is real and tested; only the bitstream of the
-lossy formats is synthetic.
+validation, dimension checks) is real and tested; for JPEG the bitstream
+path is real as well.
 
 Reference parity: the decode/dimension/PSNR checks play the role of the
 reference's DICOM pixel & metadata validation
@@ -35,6 +38,7 @@ except ImportError:
     HAVE_PIL = False
 
 LOSSY_STEP = 4  # quantization step → MSE≈step²/12 → PSNR≈46.9 dB (≥40 target)
+JPEG_QUALITY = 98  # real-codec quality: ≥43 dB round-trip even on pure noise
 LOSSY_FORMATS = ("jpeg", "webp")
 ALL_FORMATS = ("png", "jpeg", "webp")
 
@@ -198,16 +202,41 @@ def encode(rgb: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def jpeg_encode(rgb: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
+    """Encode a REAL baseline T.81/JFIF JPEG bitstream (pure numpy)."""
+    from dataqualitycontroltool_spark.graft import jpeg
+
+    return jpeg.encode(rgb, quality)
+
+
+def jpeg_roundtrip(rgb: np.ndarray, quality: int = JPEG_QUALITY) -> np.ndarray:
+    """decode(encode(x)) through the REAL JPEG codec — the honest lossy
+    fidelity loop for genuine JFIF bitstreams."""
+    from dataqualitycontroltool_spark.graft import jpeg
+
+    return jpeg.decode(jpeg.encode(rgb, quality))
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     """Decode a bitstream: the real PNG codec for png; for the lossy
-    formats, the stub stream when its magic matches, otherwise the REAL
-    bitstream via PIL when available (a genuine JPEG/WebP without PIL is
-    an explicit error, never silent garbage)."""
+    formats, the stub stream when its magic matches; a genuine JFIF stream
+    (SOI marker) via the built-in T.81 decoder, falling back to PIL for
+    shapes it scopes out (progressive/subsampled); real WebP needs PIL
+    (explicit error without it, never silent garbage)."""
     if fmt == "png":
         return png_decode(data)
     if fmt in LOSSY_FORMATS:
         if data[:4] == _LOSSY_MAGIC[fmt]:
             return lossy_decode(data, fmt)
+        if fmt == "jpeg" and data[:2] == b"\xff\xd8":
+            from dataqualitycontroltool_spark.graft import jpeg
+
+            try:
+                return jpeg.decode(data)
+            except ValueError:
+                if not HAVE_PIL:
+                    raise
+                return pil_decode(data)  # pragma: no cover — no PIL here
         if HAVE_PIL:
             return pil_decode(data)  # pragma: no cover — no PIL here
         raise ValueError(f"real {fmt} bitstream but no codec library (PIL)")

@@ -43,12 +43,15 @@ def check_bytes(data: bytes | None, fmt: str | None) -> tuple[bool, int | None, 
     h, w = img.shape[:2]
     if fmt in codecs.LOSSY_FORMATS:
         # stub stream: round-trip == quantization (zlib is lossless), so
-        # skip the compress/decompress pair; a REAL bitstream (only
-        # decodable when PIL is present) gets the genuine encode+decode loop
-        if codecs.HAVE_PIL and bytes(data[:4]) != codecs._LOSSY_MAGIC[fmt]:
-            rt = codecs.pil_roundtrip(img, fmt)  # pragma: no cover — no PIL here
-        else:
+        # skip the compress/decompress pair; a REAL bitstream gets the
+        # genuine encode+decode loop (built-in T.81 codec for JPEG, PIL
+        # for WebP when present)
+        if bytes(data[:4]) == codecs._LOSSY_MAGIC[fmt]:
             rt = codecs.lossy_roundtrip(img)
+        elif fmt == "jpeg":
+            rt = codecs.jpeg_roundtrip(img)
+        else:
+            rt = codecs.pil_roundtrip(img, fmt)  # pragma: no cover — no PIL here
         p = codecs.psnr(img, rt)
     else:
         p = float("inf")

@@ -113,11 +113,16 @@ def _base_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 
 
 def generate_pdf(
-    part: int, n_rows: int, seed: int = 42, w_range: tuple[int, int] = W_RANGE
+    part: int, n_rows: int, seed: int = 42, w_range: tuple[int, int] = W_RANGE,
+    real_jpeg_frac: float = 0.0,
 ) -> pd.DataFrame:
     """One partition of the table as pandas — pure function of (part, n, seed).
     ``w_range`` sets generated image dimensions (multiples of 8): bench uses
-    larger images so per-row decode work dominates fixed costs."""
+    larger images so per-row decode work dominates fixed costs.
+    ``real_jpeg_frac`` > 0 encodes that fraction of jpeg rows as GENUINE
+    baseline T.81/JFIF bitstreams (graft/jpeg.py) instead of the fast stub —
+    the default 0.0 draws no extra randomness, keeping the default corpus
+    byte-identical to prior rounds (bench continuity + pinned goldens)."""
     rng = np.random.default_rng(seed * 1_000_003 + part)
     # per-partition near-dup cluster bases (cluster 0 shared-shape: same seed)
     base_rng = np.random.default_rng(seed)
@@ -142,7 +147,10 @@ def generate_pdf(
             img = _base_image(rng, w0, h0)
         h0, w0 = img.shape[:2]
 
-        data = codecs.encode(img, fmt)
+        if fmt == "jpeg" and real_jpeg_frac and rng.random() < real_jpeg_frac:
+            data = codecs.jpeg_encode(img)  # real JFIF bitstream
+        else:
+            data = codecs.encode(img, fmt)
         ph = codecs.phash64(img)
         w_meta, h_meta = w0, h0
 
@@ -186,6 +194,7 @@ def generate_images(
     n_partitions: int = DEFAULT_PARTITIONS,
     seed: int = 42,
     w_range: tuple[int, int] = W_RANGE,
+    real_jpeg_frac: float = 0.0,
 ) -> DataFrame:
     """Distributed generation: the driver ships only (part, count, seed) rows;
     executors synthesize pixels/captions via mapInPandas (Arrow-batched)."""
@@ -200,7 +209,8 @@ def generate_images(
     def gen(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                yield generate_pdf(int(row["part"]), int(row["n"]), int(row["seed"]), w_range)
+                yield generate_pdf(int(row["part"]), int(row["n"]), int(row["seed"]),
+                                   w_range, real_jpeg_frac)
 
     return seeds.mapInPandas(gen, SCHEMA)
 

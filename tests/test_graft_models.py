@@ -154,13 +154,18 @@ def test_decode_check_real_jpeg_bitstream(spark):
     assert row.decode_ok and row.dec_w == 64
 
 
-def test_real_lossy_bitstream_without_pil_is_explicit_error():
-    # a genuine JPEG without a codec library must raise, never return
-    # silent garbage (and check_bytes must map that to decode_ok=False)
+def test_real_lossy_bitstream_error_paths():
+    # a corrupt "real" JPEG must raise (built-in T.81 decoder), and a real
+    # WebP without a codec library must raise — never silent garbage; and
+    # check_bytes must map both to decode_ok=False
     from dataqualitycontroltool_spark.graft import decode as dec
 
     fake_real_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with pytest.raises(ValueError):
+        codecs.decode(fake_real_jpeg, "jpeg")
+    assert dec.check_bytes(fake_real_jpeg, "jpeg")[0] is False
+    real_webp = b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16
     if not codecs.HAVE_PIL:
         with pytest.raises(ValueError, match="no codec library"):
-            codecs.decode(fake_real_jpeg, "jpeg")
-    assert dec.check_bytes(fake_real_jpeg, "jpeg")[0] is False
+            codecs.decode(real_webp, "webp")
+    assert dec.check_bytes(real_webp, "webp")[0] is False

@@ -176,3 +176,33 @@ def test_pipeline_accepts_legacy_index_without_n_members(spark, input_pdf):
     b = run_pipeline(df, KeepDropConfig(), dedup=legacy).select(
         "image_id", "keep", "drop_reason")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pipeline_on_real_jfif_bitstreams(spark):
+    """End-to-end keep/drop over a corpus where half the jpeg rows are
+    GENUINE baseline T.81/JFIF bitstreams (graft/jpeg.py), not the stub —
+    the real-decoder path exercised through the full Spark pipeline, with
+    exact parity vs the driver-side reference implementation."""
+    pdf = pd.concat(
+        [synth.generate_pdf(p, 100, seed=11, real_jpeg_frac=0.5) for p in range(2)],
+        ignore_index=True,
+    )
+    is_real = pdf["bytes"].apply(lambda b: bytes(b[:2]) == b"\xff\xd8")
+    assert is_real.sum() >= 10  # the real-codec rows actually exist
+    df = spark.createDataFrame(pdf, schema=synth.SCHEMA)
+    out = run_pipeline(df, KeepDropConfig(), n_partitions=4)
+    got = out.toPandas().sort_values("image_id").reset_index(drop=True)
+    exp = reference_labels(pdf, KeepDropConfig()).sort_values(
+        "image_id").reset_index(drop=True)
+    assert f1_score(got["keep"], exp["keep"]) == 1.0
+    assert (got["caption_scrubbed"].fillna("") == exp["caption_scrubbed"].fillna("")).all()
+    # intact, correctly-labeled real-JFIF rows must decode green (no PIL
+    # in this sandbox — this is the built-in T.81 decoder on executors)
+    real_ids = set(pdf.loc[(pdf["fmt"] == "jpeg") & pdf["bytes"].apply(
+        lambda b: bytes(b[:2]) == b"\xff\xd8" and bytes(b[-2:]) == b"\xff\xd9"),
+        "image_id"])
+    # (rows dropped by a cheaper rule legitimately short-circuit the decode,
+    # so assert on the kept real-JFIF rows — the decode actually ran there)
+    real_ok = got[got["image_id"].isin(real_ids) & got["keep"]]
+    assert len(real_ok) and bool(real_ok["decode_ok"].all())
+    assert bool((real_ok["psnr_db"] >= 40.0).all())
