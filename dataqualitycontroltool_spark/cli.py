@@ -217,7 +217,7 @@ def main(argv: list[str] | None = None) -> int:
     i.set_defaults(fn=cmd_infer)
 
     f = sub.add_parser("filter", help="checkpoint-resumable image quality filter")
-    f.add_argument("input")
+    f.add_argument("input", help="parquet directory or catalog (Iceberg) table ref")
     f.add_argument("output")
     f.add_argument("--max-partitions", type=int, default=None)
     f.set_defaults(fn=cmd_filter)

@@ -2,8 +2,10 @@
 "execution is checkpoint-resumable per Iceberg partition ... with
 per-partition lineage + metrics").
 
-Driver-side loop over the input table's partitions (the sandbox stand-in
-for Iceberg partitions is a parquet table partitioned by ``part``):
+Driver-side loop over the input table's partitions.  The input may be a
+parquet directory (the sandbox stand-in, partitioned by ``part``) or a
+catalog (Iceberg) table ref — see ``graft/io.py``; on a real cluster the
+partition list comes from Iceberg snapshot metadata, not a data scan:
 
 * **step 0** — the global exact-dup index (phash → keeper) is computed once
   and persisted; every partition job reuses it, so resumed runs produce
@@ -24,6 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dataqualitycontroltool_spark.graft.io import corpus_partitions, read_corpus
 from dataqualitycontroltool_spark.graft.pipeline import dedup_index, run_pipeline
 from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
 
@@ -50,11 +53,9 @@ def _append_manifest(out_path: str, row: dict) -> None:
 
 
 def list_partitions(spark: SparkSession, in_path: str) -> list[int]:
-    return [
-        r["part"]
-        for r in spark.read.parquet(in_path).select("part").distinct()
-        .orderBy("part").collect()
-    ]
+    # in_path may be a parquet directory or a catalog (Iceberg) table ref;
+    # for Iceberg the partition list comes from snapshot metadata, not a scan
+    return corpus_partitions(spark, in_path)
 
 
 def ensure_dedup_index(
@@ -67,7 +68,7 @@ def ensure_dedup_index(
     if not (Path(idx_path) / "_SUCCESS").exists():
         from dataqualitycontroltool_spark.graft.pipeline import hamming_dedup_index
 
-        df = spark.read.parquet(in_path)
+        df = read_corpus(spark, in_path)
         if getattr(cfg, "dedupe_hamming", 0) > 0:
             idx = hamming_dedup_index(df, cfg.dedupe_on, cfg.dedupe_hamming)
         else:
@@ -96,7 +97,7 @@ def run_resumable(
 
     for part in pending:
         t0 = time.perf_counter()
-        df = spark.read.parquet(in_path).where(F.col("part") == part)
+        df = read_corpus(spark, in_path).where(F.col("part") == part)
         result = run_pipeline(df, cfg, dedup=idx).drop("part")
         (
             result.write.mode("overwrite")

@@ -60,3 +60,32 @@ def test_lineage_manifest_contents(spark, paths):
         assert row["rows_in"] == row["kept"] + row["dropped"]
         assert row["wall_s"] > 0
         assert row["rows_scrubbed"] >= 0
+
+
+def test_catalog_table_ref_input(spark, paths, tmp_path):
+    """in_path may be a catalog table ref instead of a parquet path (the
+    Iceberg surface on a real cluster): same manifest, same output.  A temp
+    view exercises the spark.table dispatch + the distinct-scan fallback of
+    corpus_partitions (the Iceberg .partitions metadata path needs the
+    Iceberg runtime, absent in this sandbox)."""
+    from dataqualitycontroltool_spark.graft.io import (
+        corpus_partitions, is_table_ref, read_corpus)
+
+    in_path, out_path, _ = paths
+    assert not is_table_ref(in_path) and not is_table_ref("file:/x/y")
+    assert is_table_ref("cat.db.images") and is_table_ref("images")
+
+    spark.read.parquet(in_path).createOrReplaceTempView("corpus_v")
+    assert read_corpus(spark, "corpus_v").count() == N_ROWS
+    assert corpus_partitions(spark, "corpus_v") == list(range(N_PARTS))
+
+    out_tbl = str(tmp_path / "out_tbl")
+    rows = checkpoint.run_resumable(spark, "corpus_v", out_tbl, KeepDropConfig())
+    assert [r["part"] for r in rows] == list(range(N_PARTS))
+    got = (checkpoint.read_output(spark, out_tbl)
+           .select("image_id", "keep").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (checkpoint.read_output(spark, out_path)
+           .select("image_id", "keep").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
