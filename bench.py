@@ -56,6 +56,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "graft": _graft_throughput(spark, cpus),
+        "graft_real_jpeg": _graft_real_jpeg(spark),
         "dicom_10k": _dicom_scale(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
@@ -78,6 +79,31 @@ def _dicom_scale(spark, n_files: int = 10_000) -> dict:
             "files_per_sec": round(n_files / wall, 1),
             "valid_seqs": counts["validsequences"],
             "invalid_seqs": counts["invalidsequences"]}
+
+
+def _graft_real_jpeg(spark, rows: int = 2000) -> dict:
+    """Same pipeline over a corpus where every jpeg row (~35% of rows) is a
+    GENUINE baseline T.81/JFIF bitstream decoded by the built-in numpy
+    codec — the honest cost of real-bitstream decode through the Spark
+    plumbing, reported separately so the main graft number stays comparable
+    across rounds (stub codec, unchanged input)."""
+    from pyspark.sql import functions as F
+
+    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
+    from dataqualitycontroltool_spark.graft.synth import write_images
+
+    path = f"/tmp/dqc_bench_realjpeg_{rows}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_images(spark, path, rows, n_partitions=32, real_jpeg_frac=1.0)
+    df = spark.read.parquet(path)
+    n = df.count()
+    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
+    run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_rjwarm")
+    t0 = time.perf_counter()
+    run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_rjout")
+    wall = time.perf_counter() - t0
+    return {"rows": n, "wall_s": round(wall, 2),
+            "images_per_sec": round(n / wall, 1)}
 
 
 def _graft_throughput(spark, cpus: int, rows: int = 8000) -> dict:

@@ -259,8 +259,8 @@ class _Parser:
         kind, val = self.peek()
         if kind == "op" and val in _CMP:
             self.take()
-            right, _ = self.term()
-            return _CMP[val](left, right), None
+            right, rraw = self.term()
+            return _CMP[val](self._as_col(left, raw), self._as_col(right, rraw)), None
         return left, raw
 
     @staticmethod
@@ -279,9 +279,27 @@ class _Parser:
             return raw - rraw
         if op == "*":
             return raw * rraw
-        if op == "/" and rraw != 0:  # /0 keeps SQL semantics (NULL, not raise)
+        if op == "/" and rraw != 0:
+            # /0 is deliberately NOT folded: the compiled column keeps the
+            # engine's division-by-zero behavior (error under ANSI mode,
+            # NULL otherwise) — folding would have to pick one
             return raw / rraw  # Spark and Python / are both true division
         return None
+
+    @staticmethod
+    def _as_col(col, raw):
+        """Materialize a lazily-folded literal as a Column.  Folding runs in
+        arbitrary-precision Python; only the value that actually ENTERS the
+        plan must fit a Spark literal type, so an un-representable
+        intermediate (e.g. a*b/c where a*b > int64 but the quotient fits)
+        never errors — only a final out-of-range literal does, cleanly."""
+        if col is not None:
+            return col
+        if isinstance(raw, int) and not -(2**63) <= raw < 2**63:
+            raise ExpressionError(
+                f"integer literal out of range for bigint: {raw}"
+            )
+        return F.lit(raw)
 
     def term(self):
         left, raw = self.factor()
@@ -290,8 +308,10 @@ class _Parser:
             right, rraw = self.factor()
             folded = self._fold(raw, rraw, op)
             if folded is not None:
-                left, raw = F.lit(folded), folded
+                left, raw = None, folded  # stay lazy: materialized at use
             else:
+                left = self._as_col(left, raw)
+                right = self._as_col(right, rraw)
                 left = left + right if op == "+" else left - right
                 raw = None
         return left, raw
@@ -303,8 +323,10 @@ class _Parser:
             right, rraw = self.unary()
             folded = self._fold(raw, rraw, op)
             if folded is not None:
-                left, raw = F.lit(folded), folded
+                left, raw = None, folded  # stay lazy: materialized at use
             else:
+                left = self._as_col(left, raw)
+                right = self._as_col(right, rraw)
                 left = left * right if op == "*" else left / right
                 raw = None
         return left, raw
@@ -314,8 +336,8 @@ class _Parser:
             self.take()
             inner, iraw = self.unary()
             if isinstance(iraw, (int, float)) and not isinstance(iraw, bool):
-                return F.lit(-iraw), -iraw
-            return -inner, None
+                return None, -iraw  # lazy literal
+            return -self._as_col(inner, iraw), None
         return self.atom()
 
     def atom(self):
@@ -353,7 +375,7 @@ class _Parser:
         if self.peek() != ("op", ")"):
             while True:
                 a, raw = self.expr()
-                args.append(a)
+                args.append(self._as_col(a, raw))
                 raws.append(raw)
                 if self.peek() == ("op", ","):
                     self.take()
@@ -380,10 +402,10 @@ def compile_expression(expr: str, columns: list[str] | None = None) -> Column:
     (`correspondenceparser.py:64-74`); parenthesis/function/arity errors
     raise :class:`ExpressionError` like the reference's ExpressionError."""
     p = _Parser(_tokenize(expr), columns)
-    col, _ = p.expr()
+    col, raw = p.expr()
     if p.i != len(p.toks):
         raise ExpressionError(f"trailing tokens: {p.toks[p.i:]}")
-    return col
+    return p._as_col(col, raw)
 
 
 def recode(column: str, mapping: dict[str, str]) -> Column:

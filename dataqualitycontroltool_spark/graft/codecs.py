@@ -233,10 +233,15 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
             try:
                 return jpeg.decode(data)
-            except ValueError:
-                if not HAVE_PIL:
+            except Exception as exc:
+                # malformed headers can surface as struct.error/IndexError/
+                # KeyError from the parser; the fallback and the documented
+                # error contract must cover them all, not just ValueError
+                if HAVE_PIL:
+                    return pil_decode(data)  # pragma: no cover — no PIL here
+                if isinstance(exc, ValueError):
                     raise
-                return pil_decode(data)  # pragma: no cover — no PIL here
+                raise ValueError(f"malformed JPEG stream: {exc}") from exc
         if HAVE_PIL:
             return pil_decode(data)  # pragma: no cover — no PIL here
         raise ValueError(f"real {fmt} bitstream but no codec library (PIL)")

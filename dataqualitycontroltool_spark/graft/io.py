@@ -25,13 +25,22 @@ catalog; on a cluster the filtered output can be re-registered or
 
 from __future__ import annotations
 
+import logging
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 
 def is_table_ref(src: str) -> bool:
     """True when ``src`` names a catalog table (``cat.db.tbl``), not a path.
-    Paths contain a separator or a URI scheme; table refs never do."""
-    return "/" not in src and "\\" not in src and ":" not in src
+    Paths contain a separator or a URI scheme; a bare single-segment name
+    that exists on the local filesystem is a relative path (previously the
+    only interpretation), not a table ref."""
+    if "/" in src or "\\" in src or ":" in src:
+        return False
+    return not os.path.exists(src)
 
 
 def read_corpus(spark: SparkSession, src: str) -> DataFrame:
@@ -52,8 +61,15 @@ def corpus_partitions(spark: SparkSession, src: str, col: str = "part") -> list[
                 .collect()
             )
             return sorted(int(r[col]) for r in rows)
-        except Exception:
-            pass  # not an Iceberg table (temp view, hive table): fall back
+        except Exception as exc:
+            # not an Iceberg table (temp view, hive table) — or a transient
+            # catalog error: either way the fallback is a full distinct scan
+            # over the data, which at design scale is exactly the cost this
+            # path exists to avoid, so say so instead of degrading silently
+            logger.warning(
+                "corpus_partitions: %s.partitions metadata table unavailable "
+                "(%s); falling back to a distinct scan over the data", src, exc
+            )
     df = read_corpus(spark, src)
     return [
         int(r[col])

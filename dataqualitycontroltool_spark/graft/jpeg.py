@@ -382,21 +382,25 @@ class _BitReader:
     """MSB-first bit reader over entropy-coded data with byte un-stuffing
     and restart-marker awareness (T.81 F.2.2.5)."""
 
-    __slots__ = ("data", "pos", "acc", "nbits", "truncated")
+    __slots__ = ("data", "pos", "acc", "nbits", "pad_bits", "truncated")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
-        self.truncated = False
+        self.pad_bits = 0   # synthetic 1-bits at the BOTTOM of acc (lookahead
+        self.truncated = False  # past end); truncated only when CONSUMED
 
     def _fill(self) -> None:
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
-                # past end: pad with 1s (only reachable on truncated input)
-                self.truncated = True
+                # past end: pad with 1s.  This alone is NOT truncation — a
+                # stream whose entropy data runs to the exact end of the
+                # buffer (EOI stripped) pads here on lookahead without ever
+                # consuming a synthetic bit.
+                self.pad_bits += 8
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 continue
@@ -419,12 +423,16 @@ class _BitReader:
             return 0
         if self.nbits < n:
             self._fill()
-            if self.nbits < n:  # truncated stream: 1-pad
-                self.truncated = True
-                self.acc = (self.acc << (n - self.nbits)) | ((1 << (n - self.nbits)) - 1)
+            if self.nbits < n:  # still short: 1-pad (counts as synthetic)
+                pad = n - self.nbits
+                self.pad_bits += pad
+                self.acc = (self.acc << pad) | ((1 << pad) - 1)
                 self.nbits = n
         v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
+        if self.nbits < self.pad_bits:  # consumed into the synthetic region
+            self.truncated = True
+            self.pad_bits = self.nbits
         self.acc &= (1 << self.nbits) - 1
         return v
 
@@ -432,6 +440,7 @@ class _BitReader:
         """Discard pad bits, consume an RSTn marker, reset the accumulator."""
         self.acc = 0
         self.nbits = 0
+        self.pad_bits = 0
         d = self.data
         while self.pos + 1 < len(d):
             if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
@@ -442,17 +451,9 @@ class _BitReader:
 
 
 def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol lookup for canonical codes."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """(length, code) -> symbol lookup: the encoder's canonical assignment,
+    inverted."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
 
 
 def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -538,6 +539,13 @@ def decode(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != ncomp:
+                # a legal baseline stream MAY ship one scan per component
+                # (non-interleaved); decoding only the first scan would be
+                # silent garbage — explicit scope limit instead
+                raise ValueError(
+                    "non-interleaved (multi-scan) JPEG not supported"
+                )
             order = {cid: i for i, cid in enumerate(comp_ids)}
             scan_tables = [(0, 0)] * ncomp
             for si in range(ns):

@@ -222,11 +222,12 @@ def write_images(
     n_partitions: int = DEFAULT_PARTITIONS,
     seed: int = 42,
     w_range: tuple[int, int] = W_RANGE,
+    real_jpeg_frac: float = 0.0,
 ) -> None:
     """Materialize the synthetic table partitioned by `part` (the Iceberg
     partition layout stand-in that checkpoint/resume iterates)."""
     (
-        generate_images(spark, n_rows, n_partitions, seed, w_range)
+        generate_images(spark, n_rows, n_partitions, seed, w_range, real_jpeg_frac)
         .write.mode("overwrite")
         .partitionBy("part")
         .parquet(path)

@@ -89,3 +89,12 @@ def test_catalog_table_ref_input(spark, paths, tmp_path):
            .select("image_id", "keep").toPandas()
            .sort_values("image_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bare_relative_path_is_not_a_table_ref(tmp_path, monkeypatch):
+    from dataqualitycontroltool_spark.graft.io import is_table_ref
+
+    (tmp_path / "corpus").mkdir()
+    monkeypatch.chdir(tmp_path)
+    assert not is_table_ref("corpus")       # existing bare dir = path
+    assert is_table_ref("corpus_missing")   # nonexistent bare name = table

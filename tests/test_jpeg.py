@@ -134,3 +134,33 @@ def test_pil_cross_check():  # pragma: no cover — no PIL in this sandbox
     buf = BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=95, subsampling=0)
     assert codecs.psnr(img, jpeg.decode(buf.getvalue())) >= 35.0
+
+
+def test_eoi_stripped_stream_still_decodes():
+    # entropy data running to the exact end of the buffer (EOI stripped) is
+    # decodable — lookahead padding alone must not flag truncation
+    img = _natural(32, 40)
+    bs = jpeg.encode(img, 95)
+    assert bs[-2:] == b"\xff\xd9"
+    dec = jpeg.decode(bs[:-2])
+    assert np.array_equal(dec, jpeg.decode(bs))
+
+
+def test_truncated_entropy_still_raises():
+    img = _natural(32, 40)
+    bs = jpeg.encode(img, 95)
+    sos = bs.index(b"\xff\xda")
+    cut = sos + (len(bs) - sos) // 2  # halfway through the entropy data
+    # either failure mode is correct: the 1-padding decodes as an invalid
+    # Huffman code, or decodes "successfully" and trips the truncation flag
+    with pytest.raises(ValueError, match="truncated|invalid Huffman"):
+        jpeg.decode(bs[:cut])
+
+
+def test_non_interleaved_scan_raises():
+    img = _natural(24, 24)
+    bs = bytearray(jpeg.encode(img, 95))
+    sos = bytes(bs).index(b"\xff\xda")
+    bs[sos + 4] = 1  # claim a single-component scan on a 3-component frame
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg.decode(bytes(bs))

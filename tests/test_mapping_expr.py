@@ -131,3 +131,19 @@ def test_recode(spark):
     out = [r.r for r in df.select(
         recode("sex", {"M": "male", "F": "female"}).alias("r")).collect()]
     assert out == ["male", "female", None]
+
+
+def test_literal_fold_interm_overflow_and_range(spark):
+    from dataqualitycontroltool_spark.functions import compile_expression
+    from dataqualitycontroltool_spark.functions.mapping_expr import ExpressionError
+    import pytest as pt
+
+    # intermediate exceeds int64 but the final folded value fits: must
+    # compile and evaluate exactly (folding is arbitrary-precision Python)
+    got = spark.range(1).select(
+        compile_expression("4000000000 * 4000000000 / 4000000000").alias("r")
+    ).collect()[0].r
+    assert got == 4000000000.0
+    # a FINAL literal out of int64 range is a clean ExpressionError
+    with pt.raises(ExpressionError, match="out of range"):
+        compile_expression("4000000000 * 4000000000")
