@@ -81,7 +81,7 @@ def _dicom_scale(spark, n_files: int = 10_000) -> dict:
             "invalid_seqs": counts["invalidsequences"]}
 
 
-def _graft_real_jpeg(spark, rows: int = 2000) -> dict:
+def _graft_real_jpeg(spark, rows: int = 4000) -> dict:
     """Same pipeline over a corpus where every jpeg row (~35% of rows) is a
     GENUINE baseline T.81/JFIF bitstream decoded by the built-in numpy
     codec — the honest cost of real-bitstream decode through the Spark

@@ -314,32 +314,30 @@ def encode(rgb: np.ndarray, quality: int = 95, restart_interval: int = 0) -> byt
         for ci, (_, _, tid) in enumerate(comps):
             zz = comp_coeffs[ci][b]
             dc_tab, ac_tab = _ENC_DC[tid], _ENC_AC[tid]
-            diff = int(zz[0]) - dc_prev[ci]
-            dc_prev[ci] = int(zz[0])
+            dc = int(zz[0])
+            diff = dc - dc_prev[ci]
+            dc_prev[ci] = dc
+            # symbol and amplitude go out in ONE write (code << s | bits)
             size, bits = _magnitude(diff)
             code, ln = dc_tab[size]
-            bw.write(code, ln)
-            bw.write(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    if k > last_nz:
-                        code, ln = ac_tab[0x00]  # EOB
-                        bw.write(code, ln)
-                        break
-                    run += 1
-                    continue
+            bw.write((code << size) | bits, ln + size)
+            # touch only the nonzero AC positions; runs come from the gaps
+            nz = np.nonzero(zz[1:])[0] + 1
+            vals = zz[nz].tolist()
+            prev = 0
+            for k, v in zip(nz.tolist(), vals):
+                run = k - prev - 1
+                prev = k
                 while run > 15:
                     code, ln = ac_tab[0xF0]  # ZRL
                     bw.write(code, ln)
                     run -= 16
                 size, bits = _magnitude(v)
                 code, ln = ac_tab[(run << 4) | size]
+                bw.write((code << size) | bits, ln + size)
+            if prev != 63:
+                code, ln = ac_tab[0x00]  # EOB
                 bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
     entropy_parts.append(bw.flush())
     entropy = b"".join(entropy_parts)
 
@@ -378,99 +376,57 @@ def encode(rgb: np.ndarray, quality: int = 95, restart_interval: int = 0) -> byt
 # Decoder
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with byte un-stuffing
-    and restart-marker awareness (T.81 F.2.2.5)."""
-
-    __slots__ = ("data", "pos", "acc", "nbits", "pad_bits", "truncated")
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-        self.pad_bits = 0   # synthetic 1-bits at the BOTTOM of acc (lookahead
-        self.truncated = False  # past end); truncated only when CONSUMED
-
-    def _fill(self) -> None:
-        d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                # past end: pad with 1s.  This alone is NOT truncation — a
-                # stream whose entropy data runs to the exact end of the
-                # buffer (EOI stripped) pads here on lookahead without ever
-                # consuming a synthetic bit.
-                self.pad_bits += 8
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                continue
-            byte = d[self.pos]
-            if byte == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    break  # restart marker: consumed by sync_restart()
-                else:
-                    break  # EOI / next segment: stop feeding
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill()
-            if self.nbits < n:  # still short: 1-pad (counts as synthetic)
-                pad = n - self.nbits
-                self.pad_bits += pad
-                self.acc = (self.acc << pad) | ((1 << pad) - 1)
-                self.nbits = n
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        if self.nbits < self.pad_bits:  # consumed into the synthetic region
-            self.truncated = True
-            self.pad_bits = self.nbits
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def sync_restart(self) -> None:
-        """Discard pad bits, consume an RSTn marker, reset the accumulator."""
-        self.acc = 0
-        self.nbits = 0
-        self.pad_bits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected restart marker, hit end of stream")
+def _entropy_segments(data: bytes, start: int) -> list[bytes]:
+    """Split the entropy-coded section at restart markers and de-stuff each
+    segment (FF 00 -> FF) up front: the hot decode loop then reads plain
+    bytes with no per-byte marker checks.  The scan stops at the first
+    marker that is neither a stuffed zero nor an RSTn (EOI / next segment),
+    or at end-of-buffer for EOI-stripped streams."""
+    segs: list[bytes] = []
+    seg_start = pos = start
+    n = len(data)
+    while True:
+        idx = data.find(b"\xff", pos)
+        if idx < 0 or idx + 1 >= n:
+            segs.append(data[seg_start:n].replace(b"\xff\x00", b"\xff"))
+            break
+        nxt = data[idx + 1]
+        if nxt == 0x00:
+            pos = idx + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            segs.append(data[seg_start:idx].replace(b"\xff\x00", b"\xff"))
+            seg_start = pos = idx + 2
+        else:  # EOI / any other marker: end of entropy data
+            segs.append(data[seg_start:idx].replace(b"\xff\x00", b"\xff"))
+            break
+    return segs
 
 
-def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol lookup: the encoder's canonical assignment,
-    inverted."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+# (bits||vals) -> packed LUT: for every 16-bit lookahead window, entry
+# (code_length << 8) | symbol; 0 = invalid prefix.  A plain Python list
+# beats an ndarray for scalar indexing in the per-coefficient loop, and the
+# standard Annex K tables hit this cache on every image.
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
+    key = bytes(bits) + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(65536, np.int32)
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | br.read_bits(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
-
-
-def _extend(bits: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND."""
-    if size == 0:
-        return 0
-    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            lut[base : base + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    _LUT_CACHE[key] = out
+    return out
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -483,7 +439,7 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], list[int]] = {}  # (class, id) -> packed LUT
     h = w = 0
     ncomp = 0
     comp_q: list[int] = []
@@ -533,7 +489,7 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(seg[sp + 1 : sp + 17])
                 nv = sum(bits)
                 vals = list(seg[sp + 17 : sp + 17 + nv])
-                htables[(tc, th)] = _huff_decoder(bits, vals)
+                htables[(tc, th)] = _huff_lut(bits, vals)
                 sp += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -560,41 +516,89 @@ def decode(data: bytes) -> np.ndarray:
 
     h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
     n_blocks = (h8 // 8) * (w8 // 8)
-    coeffs = [np.zeros((n_blocks, 64), np.int32) for _ in range(ncomp)]
-    br = _BitReader(data, scan_start)
+    # entropy decode fills plain Python int lists (cheapest scalar stores);
+    # one (n_blocks, 64) int32 array per component is built at the end
+    coeff_lists: list[list[int]] = [[0] * (n_blocks * 64) for _ in range(ncomp)]
+    luts = [
+        (htables[(0, scan_tables[ci][0])], htables[(1, scan_tables[ci][1])])
+        for ci in range(ncomp)
+    ]
+    segs = _entropy_segments(data, scan_start)
+    seg_i = 0
+    # 8 pad bytes of 1-bits give the 5-byte window lookahead past the end;
+    # consuming into them (p > nbits) is the truncation signal
+    buf = segs[0] + b"\xff" * 8
+    nbits = 8 * len(segs[0])
+    p = 0
     dc_prev = [0] * ncomp
     for b in range(n_blocks):
         if restart_interval and b and b % restart_interval == 0:
-            br.sync_restart()
+            if p > nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("expected restart marker, hit end of stream")
+            buf = segs[seg_i] + b"\xff" * 8
+            nbits = 8 * len(segs[seg_i])
+            p = 0
             dc_prev = [0] * ncomp
+        base = b * 64
         for ci in range(ncomp):
-            dc_t = htables[(0, scan_tables[ci][0])]
-            ac_t = htables[(1, scan_tables[ci][1])]
-            zz = coeffs[ci][b]
-            size = _read_symbol(br, dc_t)
-            diff = _extend(br.read_bits(size), size)
-            dc_prev[ci] += diff
-            zz[0] = dc_prev[ci]
+            dc_lut, ac_lut = luts[ci]
+            zz = coeff_lists[ci]
+            # one 40-bit window serves the symbol (<=16 bits) AND its
+            # amplitude (<=11 bits) even at the worst 7-bit misalignment
+            i = p >> 3
+            word = int.from_bytes(buf[i : i + 5], "big")
+            off = p & 7
+            e = dc_lut[(word >> (24 - off)) & 0xFFFF]
+            if e == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            ln = e >> 8
+            s = e & 0xFF
+            p += ln
+            if s:
+                bits_v = (word >> (40 - off - ln - s)) & ((1 << s) - 1)
+                p += s
+                dc_prev[ci] += (
+                    bits_v if bits_v >= (1 << (s - 1)) else bits_v - (1 << s) + 1
+                )
+            zz[base] = dc_prev[ci]
             k = 1
             while k < 64:
-                sym = _read_symbol(br, ac_t)
+                i = p >> 3
+                word = int.from_bytes(buf[i : i + 5], "big")
+                off = p & 7
+                e = ac_lut[(word >> (24 - off)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid Huffman code in entropy stream")
+                ln = e >> 8
+                sym = e & 0xFF
+                p += ln
                 if sym == 0x00:  # EOB
                     break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
+                s = sym & 0x0F
+                if s == 0:
+                    if sym != 0xF0:
                         raise ValueError("invalid AC symbol")
                     k += 16  # ZRL
                     continue
-                k += run
+                k += sym >> 4
                 if k > 63:
                     raise ValueError("AC run past end of block")
-                zz[k] = _extend(br.read_bits(size), size)
+                bits_v = (word >> (40 - off - ln - s)) & ((1 << s) - 1)
+                p += s
+                zz[base + k] = (
+                    bits_v if bits_v >= (1 << (s - 1)) else bits_v - (1 << s) + 1
+                )
                 k += 1
-    if br.truncated:
+    if p > nbits:
         # a truncated entropy stream must FAIL, matching the stub codec's
         # zlib error on truncation — never silently return a half image
         raise ValueError("truncated JPEG entropy stream")
+    coeffs = [
+        np.array(cl, np.int32).reshape(n_blocks, 64) for cl in coeff_lists
+    ]
 
     planes = []
     for ci in range(ncomp):
