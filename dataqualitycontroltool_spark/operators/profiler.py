@@ -28,6 +28,25 @@ def _pct_expr(col: str, ps: str, exact: bool = True) -> str:
     return f"{fn}({col}, array({ps}))"
 
 
+def _quartiles_col(df: DataFrame, col: str, exact) -> "Column":
+    """array(q1, median, q3) as a Column under the chosen strategy.
+
+    * ``exact=True`` — Spark's exact ``percentile`` aggregate: right answers,
+      but its value→count map merges through ONE reducer (fails at 10^12-row
+      high-cardinality columns).
+    * ``exact=False`` — ``approx_percentile`` sketch: scales, not exact.
+    * ``exact="distributed"`` — :func:`operators.quantiles.exact_quantiles`:
+      exact AND scale-correct (histogram rank-selection, no single-reducer
+      state); runs eagerly and is folded back into the plan as literals.
+    """
+    if exact == "distributed":
+        from dataqualitycontroltool_spark.operators.quantiles import exact_quantiles
+
+        q = exact_quantiles(df, col, [0.25, 0.5, 0.75])
+        return F.array(*[F.lit(x).cast("double") for x in q])
+    return F.expr(_pct_expr(col, "0.25d, 0.5d, 0.75d", bool(exact)))
+
+
 def profile_numerical(
     df: DataFrame, col: str, threshold: float = 3.0, exact: bool = True
 ) -> DataFrame:
@@ -45,7 +64,7 @@ def profile_numerical(
             F.stddev_samp(col).alias("_std"),
             F.min(col).alias("min"),
             F.max(col).alias("max"),
-            F.expr(_pct_expr(col, "0.25d, 0.5d, 0.75d", exact)).alias("_q"),
+            _quartiles_col(df, col, exact).alias("_q"),
         )
         .select(
             F.round("_mean", d).alias("mean"),
@@ -104,7 +123,7 @@ def profile_integer(df: DataFrame, col: str, exact: bool = True) -> DataFrame:
     stats = df.agg(
         F.min(col).alias("min"),
         F.max(col).alias("max"),
-        F.expr(_pct_expr(col, "0.25d, 0.5d, 0.75d", exact)).alias("_q"),
+        _quartiles_col(df, col, exact).alias("_q"),
     ).select(
         "min",
         "max",

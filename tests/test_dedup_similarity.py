@@ -263,7 +263,8 @@ def test_simhash_pairs_cache_contract(docs):
     jsc = spark.sparkContext._jsc.sc()
 
     def ids():
-        return set(jsc.getPersistentRDDs().keys().mkString(",").split(","))
+        s = jsc.getPersistentRDDs().keys().mkString(",")
+        return set(s.split(",")) if s else set()
 
     cached = {tuple(r) for r in dedup.simhash_pairs(docs, "id", "text").collect()}
     spark.catalog.clearCache()
