@@ -25,17 +25,33 @@ def get_spark(
 
     ``cpus=None`` means: respect an externally configured master (spark-submit /
     existing session); otherwise run ``local[$SPARK_GRAFT_CPUS or *]``.
+
+    "Externally configured" is detected via ``PYSPARK_GATEWAY_PORT``: when
+    spark-submit launches a Python application it starts the JVM gateway first
+    (with ``--master``/``--conf``/``--py-files`` already applied) and hands the
+    script that port, so setting ``.master()`` here would silently override the
+    cluster manager the operator asked for.  An explicit ``cpus=N`` still wins
+    (callers like bench_scaling force a local size on purpose).
     """
+    external_master = cpus is None and "PYSPARK_GATEWAY_PORT" in os.environ
     if cpus is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(cpus_env) if cpus_env else (os.cpu_count() or 8)
-    if shuffle_partitions is None:
-        shuffle_partitions = max(4, int(cpus))
 
+    builder = SparkSession.builder.appName(app_name)
+    if not external_master:
+        builder = builder.master(f"local[{cpus}]")
+    if shuffle_partitions is not None or not external_master:
+        # local mode: size shuffles to the core count.  Under spark-submit the
+        # operator's --conf spark.sql.shuffle.partitions (or AQE) governs —
+        # clobbering it with the DRIVER's cpu count would be nonsense on a
+        # 1000-executor cluster.
+        builder = builder.config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else max(4, int(cpus))),
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -48,9 +64,13 @@ def get_spark(
         # keeps small-to-mid inputs wide; at true 100TB scale there are millions
         # of splits either way and this knob only affects task granularity.
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if not external_master:
+        # startup-only conf: meaningless once spark-submit has launched the JVM
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -75,6 +95,11 @@ def _ship_package(spark: SparkSession) -> None:
     if key in _shipped:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip: spark-submit --py-files already distributed the
+        # package to every worker; there is no directory to re-archive.
+        _shipped.add(key)
+        return
     root = os.path.dirname(pkg_dir)
     zpath = shutil.make_archive(
         os.path.join(tempfile.mkdtemp(prefix="dqc_pyfiles_"), "dqc_spark_pkg"),
