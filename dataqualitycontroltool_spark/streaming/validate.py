@@ -98,24 +98,35 @@ def stream_quality_filter(
     cfg=None,
     dedupe_within: str | None = None,
     time_col: str = "ts",
+    static_dedup: DataFrame | None = None,
 ) -> DataFrame:
     """The graft caption quality filter on a stream: identical rule/scrub/UDF
-    code (pipeline.run_pipeline) minus the dedup join — global exact-dedup
-    needs either a precomputed index (pass it in batch) or stateful
-    dedup, so the streaming default flags no duplicates and the orchestrator
-    reconciles dups per checkpointed partition.
+    code (pipeline.run_pipeline).  Exact-dup handling picks one of three
+    streaming-legal semantics:
 
-    ``dedupe_within`` (e.g. "1 hour") enables BOUNDED-STATE streaming dedup:
-    later arrivals with an already-seen ``cfg.dedupe_on`` key are DROPPED via
-    ``dropDuplicatesWithinWatermark`` (state per key expires once the
-    watermark passes the retention window — the streaming analogue of the
-    per-partition dedup index, trading the batch 'flag the loser' semantics
-    for 'first arrival wins' since a stream can't retro-flag).  Requires a
-    ``time_col`` event-time column on the stream."""
+    * ``static_dedup`` — a PRECOMPUTED batch dedup index
+      (``pipeline.dedup_index`` / ``hamming_dedup_index`` over the historical
+      corpus).  The stream-static left join flags every arriving image whose
+      key already belongs to a known duplicate group — the continuous-ingest
+      design: new data is checked against the curated history, and the index
+      is refreshed out-of-band (each micro-batch re-reads the static source,
+      so an orchestrator can atomically swap the index location between
+      batches).  Batch-equivalent to ``run_pipeline(df, dedup=idx)``.
+    * ``dedupe_within`` (e.g. "1 hour") — BOUNDED-STATE in-stream dedup:
+      later arrivals with an already-seen ``cfg.dedupe_on`` key are DROPPED
+      via ``dropDuplicatesWithinWatermark`` (state per key expires once the
+      watermark passes the retention window — 'first arrival wins', since a
+      stream can't retro-flag the keeper).  Requires a ``time_col``
+      event-time column on the stream.
+    * neither — no duplicates flagged; the checkpoint orchestrator reconciles
+      dups per partition (graft/checkpoint.py's global-index semantics).
+    """
     from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
     from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
 
     cfg = cfg or KeepDropConfig()
+    if static_dedup is not None and cfg.dedupe_on:
+        return run_pipeline(stream_df, cfg, dedup=static_dedup)
     if dedupe_within and cfg.dedupe_on:
         stream_df = (
             stream_df.withColumn(time_col, F.col(time_col).cast("timestamp"))

@@ -146,3 +146,30 @@ def test_stream_dedupe_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_path)
     assert got.count() == n_distinct
     assert got.select("image_id").distinct().count() == n_distinct
+
+
+def test_stream_static_dedup_index_equals_batch(spark, tmp_path):
+    """Continuous-ingest dedup: the stream joins a PRECOMPUTED batch dedup
+    index (stream-static left join) and must flag exactly the duplicates the
+    batch pipeline flags with the same index — including is_dup and the
+    dup-rule drop decision, which the stateless streaming default can't see."""
+    from dataqualitycontroltool_spark.graft.pipeline import dedup_index
+
+    src = str(tmp_path / "imgs")
+    generate_images(spark, 300, n_partitions=3).write.parquet(src)
+    hist = spark.read.parquet(src)
+    idx = dedup_index(hist)  # historical/global index, computed once in batch
+
+    stream = _read_stream(spark, src)
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = st.write_validated(
+        st.stream_quality_filter(stream, static_dedup=idx), out_path, ckpt
+    )
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out_path)
+    batch = run_pipeline(hist, dedup=idx)
+    s = {r.image_id: (r.is_dup, r.keep, r.drop_reason) for r in streamed.collect()}
+    b = {r.image_id: (r.is_dup, r.keep, r.drop_reason) for r in batch.collect()}
+    assert s == b and len(s) == 300
+    assert any(v[0] for v in s.values())  # synth corpus has real dup groups
