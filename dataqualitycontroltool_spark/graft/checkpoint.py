@@ -12,44 +12,64 @@ partition list comes from Iceberg snapshot metadata, not a data scan:
   byte-identical keep/drop decisions to a single-shot run.
 * **per partition** — read only that partition (partition pruning: the
   ``part = N`` filter reaches the parquet scan), run the pipeline, write
-  ``out/part=N``, then append one lineage line to ``_manifest.jsonl``
+  ``out/part=N``, then commit one lineage marker ``_manifest/part-N.json``
   (partition, rows in/kept/dropped, scrub counts, wall seconds).  The
-  manifest line is written only AFTER the partition's output commits, so a
-  crash mid-partition re-runs exactly that partition on resume.
+  marker is written only AFTER the partition's output commits, so a crash
+  mid-partition re-runs exactly that partition on resume.
+
+The manifest lives NEXT TO the output and is accessed through the Hadoop
+FileSystem API (``graft/io.py``), so ``out_path`` may be ``file:``,
+``hdfs://`` or ``s3a://`` — exactly where a cluster run would put it.  One
+whole-file marker per partition (create-with-overwrite, idempotent) rather
+than appending a shared JSONL: object stores have no append, and a
+re-driven partition simply overwrites its own marker.  Outputs written by
+older versions (single ``_manifest.jsonl``) are still read on resume.
 """
 
 from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dataqualitycontroltool_spark.graft import io as gio
 from dataqualitycontroltool_spark.graft.io import corpus_partitions, read_corpus
 from dataqualitycontroltool_spark.graft.pipeline import dedup_index, run_pipeline
 from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
 
-MANIFEST = "_manifest.jsonl"
+MANIFEST_DIR = "_manifest"
+LEGACY_MANIFEST = "_manifest.jsonl"
 DEDUP_DIR = "_dedup_index"
 
 
-def read_manifest(out_path: str) -> dict[int, dict]:
-    p = Path(out_path) / MANIFEST
+def _join(base: str, *parts: str) -> str:
+    # URI-safe join: pathlib would collapse "hdfs://nn" to "hdfs:/nn"
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def read_manifest(out_path: str, spark: SparkSession | None = None) -> dict[int, dict]:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - needs a session for the Hadoop FS
+        raise RuntimeError("read_manifest requires an active SparkSession")
     done: dict[int, dict] = {}
-    if p.exists():
-        for line in p.read_text().splitlines():
+    legacy = _join(out_path, LEGACY_MANIFEST)
+    if gio.fs_exists(spark, legacy):
+        for line in gio.fs_read_text(spark, legacy).splitlines():
             if line.strip():
                 row = json.loads(line)
                 done[int(row["part"])] = row
+    mdir = _join(out_path, MANIFEST_DIR)
+    for name in gio.fs_list_names(spark, mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            row = json.loads(gio.fs_read_text(spark, _join(mdir, name)))
+            done[int(row["part"])] = row
     return done
 
 
-def _append_manifest(out_path: str, row: dict) -> None:
-    p = Path(out_path) / MANIFEST
-    p.parent.mkdir(parents=True, exist_ok=True)
-    with p.open("a") as fh:
-        fh.write(json.dumps(row) + "\n")
+def _commit_manifest(spark: SparkSession, out_path: str, row: dict) -> None:
+    marker = _join(out_path, MANIFEST_DIR, f"part-{int(row['part'])}.json")
+    gio.fs_write_text(spark, marker, json.dumps(row) + "\n")
 
 
 def list_partitions(spark: SparkSession, in_path: str) -> list[int]:
@@ -64,8 +84,8 @@ def ensure_dedup_index(
     """Step 0: global dedup index, itself checkpointed."""
     if not cfg.dedupe_on:
         return None
-    idx_path = str(Path(out_path) / DEDUP_DIR)
-    if not (Path(idx_path) / "_SUCCESS").exists():
+    idx_path = _join(out_path, DEDUP_DIR)
+    if not gio.fs_exists(spark, _join(idx_path, "_SUCCESS")):
         from dataqualitycontroltool_spark.graft.pipeline import hamming_dedup_index
 
         df = read_corpus(spark, in_path)
@@ -87,7 +107,7 @@ def run_resumable(
     """Process every not-yet-done partition; return the lineage rows written
     THIS call.  ``max_partitions`` lets tests simulate a mid-run crash."""
     cfg = cfg or KeepDropConfig()
-    done = read_manifest(out_path)
+    done = read_manifest(out_path, spark)
     idx = ensure_dedup_index(spark, in_path, out_path, cfg)
 
     written: list[dict] = []
@@ -101,10 +121,10 @@ def run_resumable(
         result = run_pipeline(df, cfg, dedup=idx).drop("part")
         (
             result.write.mode("overwrite")
-            .parquet(str(Path(out_path) / f"part={part}"))
+            .parquet(_join(out_path, f"part={part}"))
         )
         agg = (
-            spark.read.parquet(str(Path(out_path) / f"part={part}"))
+            spark.read.parquet(_join(out_path, f"part={part}"))
             .agg(
                 F.count("*").alias("rows_in"),
                 F.sum(F.col("keep").cast("long")).alias("kept"),
@@ -122,14 +142,14 @@ def run_resumable(
             "scrub_hits": agg["scrub_hits"] or 0,
             "wall_s": round(time.perf_counter() - t0, 3),
         }
-        _append_manifest(out_path, row)
+        _commit_manifest(spark, out_path, row)
         written.append(row)
     return written
 
 
 def read_output(spark: SparkSession, out_path: str) -> DataFrame:
     """The filtered table across all completed partitions."""
-    done = sorted(read_manifest(out_path))
-    paths = [str(Path(out_path) / f"part={p}") for p in done]
+    done = sorted(read_manifest(out_path, spark))
+    paths = [_join(out_path, f"part={p}") for p in done]
     df = spark.read.parquet(*paths)
     return df

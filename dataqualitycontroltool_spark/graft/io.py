@@ -75,3 +75,63 @@ def corpus_partitions(spark: SparkSession, src: str, col: str = "part") -> list[
         int(r[col])
         for r in df.select(col).distinct().orderBy(col).collect()
     ]
+
+
+# --------------------------------------------------------------------------
+# Hadoop FileSystem access (driver-side, via the session's JVM).
+#
+# The checkpoint manifest must live NEXT TO the output — on a cluster that
+# is HDFS or an object store, not the driver's local disk.  ``pathlib``
+# would silently write `hdfs://nn/out/_manifest` under the driver's cwd;
+# these helpers resolve the scheme through Hadoop's own FileSystem registry
+# so the same orchestrator code runs against file:, hdfs://, s3a://, ...
+# All calls are O(#partitions) driver-side metadata ops.
+# --------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create-with-overwrite a small text file (parents auto-created).
+    Object-store safe: one whole-file PUT, no append."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def fs_list_names(spark: SparkSession, dir_path: str) -> list[str]:
+    """File names directly under ``dir_path`` ([] when it doesn't exist)."""
+    fs, p = _hadoop_fs(spark, dir_path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]

@@ -91,6 +91,51 @@ def test_catalog_table_ref_input(spark, paths, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_uri_out_path_and_manifest_on_hadoop_fs(spark, paths, tmp_path):
+    """On a cluster ``out_path`` is an HDFS/object-store URI, not a local
+    path.  A ``file:`` URI exercises the same Hadoop FileSystem dispatch:
+    the manifest markers must land under the URI (not the driver cwd),
+    resume must see them, and the output must match the plain-path run."""
+    in_path, out_path, _ = paths
+    uri_out = "file:" + str(tmp_path / "out_uri")
+
+    first = checkpoint.run_resumable(
+        spark, in_path, uri_out, KeepDropConfig(), max_partitions=1)
+    assert [r["part"] for r in first] == [0]
+    # marker is physically under the URI's local mapping
+    assert (tmp_path / "out_uri" / "_manifest" / "part-0.json").exists()
+
+    rest = checkpoint.run_resumable(spark, in_path, uri_out, KeepDropConfig())
+    assert [r["part"] for r in rest] == [1, 2, 3]
+
+    got = (checkpoint.read_output(spark, uri_out)
+           .select("image_id", "keep").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    exp = (checkpoint.read_output(spark, out_path)
+           .select("image_id", "keep").toPandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_legacy_jsonl_manifest_still_read(spark, tmp_path):
+    """Outputs written by older versions carry a single ``_manifest.jsonl``;
+    resume must honor it (and per-part markers take precedence)."""
+    out = tmp_path / "legacy_out"
+    out.mkdir()
+    (out / "_manifest.jsonl").write_text(
+        '{"part": 0, "rows_in": 10, "kept": 7, "dropped": 3}\n'
+        '{"part": 1, "rows_in": 10, "kept": 10, "dropped": 0}\n'
+    )
+    (out / "_manifest").mkdir()
+    (out / "_manifest" / "part-1.json").write_text(
+        '{"part": 1, "rows_in": 10, "kept": 9, "dropped": 1}\n'
+    )
+    manifest = checkpoint.read_manifest(str(out), spark)
+    assert sorted(manifest) == [0, 1]
+    assert manifest[0]["kept"] == 7
+    assert manifest[1]["kept"] == 9  # marker wins over the legacy line
+
+
 def test_bare_relative_path_is_not_a_table_ref(tmp_path, monkeypatch):
     from dataqualitycontroltool_spark.graft.io import is_table_ref
 

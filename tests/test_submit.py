@@ -66,9 +66,10 @@ def test_spark_submit_pyfiles_filter_and_resume(spark, tmp_path):
     assert stats["rows_in"] == N_ROWS
     assert 0 < stats["kept"] < N_ROWS  # keep/drop is non-trivial by synth design
 
-    # output layout: one parquet dir per input partition + a lineage manifest
-    manifest = (out_path / "_manifest.jsonl").read_text().strip().splitlines()
-    assert len(manifest) == N_PARTS
+    # output layout: one parquet dir per input partition + one lineage
+    # marker per partition (object-store-safe commit protocol)
+    markers = sorted((out_path / "_manifest").glob("part-*.json"))
+    assert len(markers) == N_PARTS
     result = spark.read.parquet(*[str(out_path / f"part={p}") for p in range(N_PARTS)])
     assert result.count() == N_ROWS
     assert {"image_id", "keep", "caption_scrubbed"} <= set(result.columns)
