@@ -29,6 +29,7 @@ older versions (single ``_manifest.jsonl``) are still read on resume.
 from __future__ import annotations
 
 import json
+import logging
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -37,6 +38,8 @@ from dataqualitycontroltool_spark.graft import io as gio
 from dataqualitycontroltool_spark.graft.io import corpus_partitions, read_corpus
 from dataqualitycontroltool_spark.graft.pipeline import dedup_index, run_pipeline
 from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
+
+logger = logging.getLogger(__name__)
 
 MANIFEST_DIR = "_manifest"
 LEGACY_MANIFEST = "_manifest.jsonl"
@@ -62,7 +65,17 @@ def read_manifest(out_path: str, spark: SparkSession | None = None) -> dict[int,
     mdir = _join(out_path, MANIFEST_DIR)
     for name in gio.fs_list_names(spark, mdir):
         if name.startswith("part-") and name.endswith(".json"):
-            row = json.loads(gio.fs_read_text(spark, _join(mdir, name)))
+            try:
+                row = json.loads(gio.fs_read_text(spark, _join(mdir, name)))
+            except Exception:
+                # a crash between create() and write/close leaves an empty,
+                # truncated, or checksum-failing marker — that partition is
+                # NOT done; re-running it overwrites the marker (idempotent),
+                # so skip, don't wedge every future resume
+                logger.warning(
+                    "ignoring unreadable manifest marker %s/%s", mdir, name
+                )
+                continue
             done[int(row["part"])] = row
     return done
 

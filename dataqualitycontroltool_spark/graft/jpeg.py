@@ -387,8 +387,16 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
     n = len(data)
     while True:
         idx = data.find(b"\xff", pos)
-        if idx < 0 or idx + 1 >= n:
+        if idx < 0:
             segs.append(data[seg_start:n].replace(b"\xff\x00", b"\xff"))
+            break
+        if idx + 1 >= n:
+            # dangling FF at end-of-buffer: an incomplete stuffing/marker
+            # pair (T.81 F.1.2.3 — FF in entropy data is always followed by
+            # 00 or a marker byte).  End the entropy data BEFORE it so bits
+            # a decode would need from there count as missing (truncation
+            # error), not as eight spurious 1-bits.
+            segs.append(data[seg_start:idx].replace(b"\xff\x00", b"\xff"))
             break
         nxt = data[idx + 1]
         if nxt == 0x00:
@@ -405,8 +413,12 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
 # (bits||vals) -> packed LUT: for every 16-bit lookahead window, entry
 # (code_length << 8) | symbol; 0 = invalid prefix.  A plain Python list
 # beats an ndarray for scalar indexing in the per-coefficient loop, and the
-# standard Annex K tables hit this cache on every image.
+# standard Annex K tables hit this cache on every image.  BOUNDED (FIFO):
+# real-world encoders emit per-image optimized Huffman tables, and a
+# long-lived executor worker decoding millions of distinct JPEGs must not
+# accumulate one ~2MB list per unique table.
 _LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE_MAX = 16
 
 
 def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
@@ -425,6 +437,8 @@ def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
             k += 1
         code <<= 1
     out = lut.tolist()
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = out
     return out
 

@@ -44,6 +44,12 @@ def _quartiles_col(df: DataFrame, col: str, exact) -> "Column":
 
         q = exact_quantiles(df, col, [0.25, 0.5, 0.75])
         return F.array(*[F.lit(x).cast("double") for x in q])
+    if isinstance(exact, str):
+        # any other string would silently bool() to the single-reducer exact
+        # path — the opposite of what a caller typo'ing "distributed" wanted
+        raise ValueError(
+            f"exact={exact!r}: expected True, False or 'distributed'"
+        )
     return F.expr(_pct_expr(col, "0.25d, 0.5d, 0.75d", bool(exact)))
 
 

@@ -16,21 +16,33 @@ This operator is exact AND scale-correct:
 * **Bounded driver state.**  The driver sees only histogram counts
   (≤ R·B rows per level) and one terminal distinct-value table bounded by
   ``terminal_rows`` per rank-group.
-* **Provably few levels.**  Each level shrinks a candidate range by ×B
-  (default 8192 = 13 bits).  An IEEE double has 52 mantissa bits, so after
-  ≤ ⌈52/13⌉+1 = 5 levels the range width is below 1 ulp and at most two
-  distinct values remain — heavy duplicates therefore terminate via the
-  tiny distinct-value pass no matter how large their row count.
+* **Few levels.**  The histogram aggregate carries per-bucket min/max, and
+  a child group's range is the ACTUAL value span inside its bucket — not
+  the nominal bucket boundaries — so each level shrinks a range to at most
+  1/B of the parent (default B = 8192 = 13 bits) and immediately snaps to
+  where the data lives.  For value distributions whose magnitude matches
+  their span, sub-ulp width (≤2 distinct values → terminal pass) is
+  reached in ≤ ⌈52/13⌉+1 = 5 levels.  The worst case is adversarial
+  geometric data spread across the full double exponent range with >
+  ``terminal_rows`` values per magnitude band, which can take
+  O(log(span/ulp)/13) ≈ up to ~160 levels — each still a single bounded
+  scan; ``max_levels`` (256) raises rather than ever falling back to an
+  unbounded collect.
 
 Exactness argument: bucket assignment is
 ``clamp(floor((cast(v as double) - lo) / width), 0, B-1)`` with ``lo``/
-``width`` embedded as literals.  The same IEEE-754 expression is evaluated
-driver-side, so the next level's path predicate (``bucket_expr == k``)
-selects EXACTLY the rows that were counted — no boundary slippage between
-the histogram and the refinement filter.  The expression is monotone
-non-decreasing in ``v`` (subtraction, division by a positive constant,
-floor, clamp, and long→double cast are all monotone), so buckets are
-order-contiguous and rank arithmetic over their counts is exact.
+``width`` embedded as literals.  The next level's path predicate is built
+from the SAME Column expression (``bucket_expr == k``), so whatever
+IEEE-754 rounding the bucket assignment performs, the refinement filter
+performs identically and selects EXACTLY the rows that were counted — no
+boundary slippage between the histogram and the refinement filter.  The
+expression is monotone non-decreasing in ``v`` (subtraction, division by
+a positive constant, floor, clamp, and long→double cast are all
+monotone), so buckets are order-contiguous and rank arithmetic over their
+counts is exact.  The scan pre-filter needs no slippage allowance: a
+group's [lo, hi] is the min/max of precisely the rows its predicate
+selects (per-bucket min/max from the histogram), so
+``between(lo, hi)`` never excludes a predicate row.
 
 Interpolation mirrors Spark's ``Percentile`` (and ``np.quantile`` /
 DuckDB ``quantile_cont``): ``pos = p·(n-1)``;
@@ -55,9 +67,19 @@ def _bucket_expr(col: Column, lo: float, width: float, buckets: int) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit(buckets - 1), raw))
 
 
-def _bucket_of(v: float, lo: float, width: float, buckets: int) -> int:
-    """Driver-side mirror of :func:`_bucket_expr` (same IEEE-754 ops)."""
-    return max(0, min(buckets - 1, math.floor((v - lo) / width)))
+def _geometry(g: "_Group", buckets: int) -> Column:
+    """Bucket expression for one group.  When the group's range itself
+    overflows a double (``hi - lo == inf``, possible only for ranges
+    spanning most of ±DBL_MAX), equi-width bucketing is ill-defined, so the
+    level degrades to ONE exact midpoint comparison (``v >= lo/2 + hi/2``);
+    each such split halves the range, so finite widths return within two
+    levels and refinement still terminates instead of dumping the full
+    group on the terminal distinct-value pass."""
+    width = (g.hi - g.lo) / buckets
+    if math.isfinite(width):
+        return _bucket_expr(F.col("_v"), g.lo, width, buckets)
+    mid = g.lo / 2 + g.hi / 2
+    return (F.col("_v") >= F.lit(mid)).cast("bigint")
 
 
 @dataclass
@@ -65,11 +87,10 @@ class _Group:
     """One contiguous candidate range still holding unresolved rank indices."""
 
     pred: Column | None  # conjunction of bucket-equality literals (root: None)
-    lo: float
-    hi: float
+    lo: float  # exact min of the values this group's predicate selects
+    hi: float  # exact max of the values this group's predicate selects
     offset: int  # number of column values strictly before this range
     count: int  # number of column values inside this range
-    margin: float  # fp-slippage allowance for the (advisory) scan pre-filter
     indices: list[int] = field(default_factory=list)  # 0-based sorted ranks
 
 
@@ -79,7 +100,7 @@ def exact_quantiles(
     ps: list[float],
     buckets: int = 8192,
     terminal_rows: int = 65536,
-    max_levels: int = 64,
+    max_levels: int = 256,
 ) -> list[float | None]:
     """Exact linear-interpolation quantiles of ``df[col]`` at probabilities
     ``ps`` — same answers as ``percentile(col, array(ps))`` but computed by
@@ -122,21 +143,25 @@ def exact_quantiles(
     if gmin == gmax:
         resolved = {i: gmin for i in needed}
     else:
-        groups = [_Group(None, gmin, gmax, 0, n, 0.0, sorted(needed))]
+        groups = [_Group(None, gmin, gmax, 0, n, sorted(needed))]
         terminal: list[_Group] = []
         level = 0
         while groups:
             level += 1
-            if level > max_levels:  # unreachable for IEEE doubles; belt+braces
-                terminal.extend(groups)
-                break
+            if level > max_levels:
+                # unreachable outside adversarial full-exponent-range data;
+                # raising beats silently handing an unbounded group to the
+                # terminal distinct-value collect
+                raise AssertionError(
+                    f"quantile refinement of {col} did not converge in "
+                    f"{max_levels} levels"
+                )
             refine: list[_Group] = []
             for g in groups:
                 width = (g.hi - g.lo) / buckets
                 if (
                     g.count <= terminal_rows
                     or width <= 0.0
-                    or not math.isfinite(width)
                     or g.lo + width == g.lo  # below ulp: ≤2 distinct values
                 ):
                     terminal.append(g)
@@ -145,48 +170,50 @@ def exact_quantiles(
             if not refine:
                 break
 
-            # ONE scan for every group at this level: histogram per (g, bucket).
+            # ONE scan for every group at this level: per-(group, bucket)
+            # count + value min/max.  Children adopt the ACTUAL value span of
+            # their bucket, so the range snaps to where the data lives.
             case = None
-            pre_lo = min(g.lo - g.margin for g in refine)
-            pre_hi = max(g.hi + g.margin for g in refine)
+            pre_lo = min(g.lo for g in refine)
+            pre_hi = max(g.hi for g in refine)
             for gi, g in enumerate(refine):
-                width = (g.hi - g.lo) / buckets
-                be = _bucket_expr(F.col("_v"), g.lo, width, buckets)
+                be = _geometry(g, buckets)
                 branch = F.struct(F.lit(gi).alias("g"), be.alias("b"))
                 cond = F.lit(True) if g.pred is None else g.pred
                 case = F.when(cond, branch) if case is None else case.when(cond, branch)
             hist = (
                 vals.where(F.col("_v").between(pre_lo, pre_hi))
-                .select(case.alias("gb"))
+                .select(case.alias("gb"), "_v")
                 .where(F.col("gb").isNotNull())
                 .groupBy(F.col("gb.g").alias("g"), F.col("gb.b").alias("b"))
-                .count()
+                .agg(
+                    F.count("_v").alias("cnt"),
+                    F.min("_v").alias("vmin"),
+                    F.max("_v").alias("vmax"),
+                )
                 .collect()
             )
-            by_group: dict[int, list[tuple[int, int]]] = {}
+            by_group: dict[int, list[tuple[int, int, float, float]]] = {}
             for row in hist:
-                by_group.setdefault(row["g"], []).append((row["b"], row["count"]))
+                by_group.setdefault(row["g"], []).append(
+                    (row["b"], row["cnt"], row["vmin"], row["vmax"])
+                )
 
             nxt: list[_Group] = []
             for gi, g in enumerate(refine):
-                width = (g.hi - g.lo) / buckets
-                be = _bucket_expr(F.col("_v"), g.lo, width, buckets)
+                be = _geometry(g, buckets)
                 cum = g.offset
                 children: dict[int, _Group] = {}
                 want = iter(g.indices)
                 idx = next(want, None)
-                for b, cnt in sorted(by_group.get(gi, [])):
+                for b, cnt, vmin, vmax in sorted(by_group.get(gi, [])):
                     while idx is not None and cum <= idx < cum + cnt:
                         child = children.get(b)
                         if child is None:
-                            lo_b = g.lo if b == 0 else g.lo + b * width
-                            hi_b = g.hi if b == buckets - 1 else g.lo + (b + 1) * width
                             pred = be == F.lit(b)
                             if g.pred is not None:
                                 pred = g.pred & pred
-                            child = _Group(
-                                pred, lo_b, hi_b, cum, cnt, g.margin + width
-                            )
+                            child = _Group(pred, vmin, vmax, cum, cnt)
                             children[b] = child
                         child.indices.append(idx)
                         idx = next(want, None)
@@ -202,8 +229,8 @@ def exact_quantiles(
             # ONE scan: distinct values + counts per terminal group (each
             # bounded by terminal_rows rows or by a sub-ulp value range).
             case = None
-            pre_lo = min(g.lo - g.margin for g in terminal)
-            pre_hi = max(g.hi + g.margin for g in terminal)
+            pre_lo = min(g.lo for g in terminal)
+            pre_hi = max(g.hi for g in terminal)
             for gi, g in enumerate(terminal):
                 cond = F.lit(True) if g.pred is None else g.pred
                 case = (

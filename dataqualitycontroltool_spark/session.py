@@ -4,8 +4,9 @@ Single place where execution knobs live so tests / bench / pipeline all agree:
 AQE on (runtime re-plan + skew-join splitting), Arrow on (all Python UDFs in this
 engine are vectorized pandas UDFs), UTC session timezone (DuckDB-oracle parity),
 and shuffle partitions sized to the local core count rather than the 200 default.
-On a real cluster the same builder is used; only master/shuffle-partitions change
-via ``spark-submit`` conf.
+On a real cluster the same builder is used; the operator's ``spark-submit``
+``--master``/``--conf`` govern, and the semantic defaults here fill in only
+where unset.
 """
 
 from __future__ import annotations
@@ -50,27 +51,39 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else max(4, int(cpus))),
         )
-    builder = (
-        builder
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        # parquet input splits: the default 128MB maxPartitionBytes coalesces a
-        # ~500MB binary-column table into ~4 splits, capping the scan stage at
-        # 4-way parallelism no matter how many cores the session has (measured:
-        # decode stage identical wall time at local[8] and local[32]).  16MB
-        # keeps small-to-mid inputs wide; at true 100TB scale there are millions
-        # of splits either way and this knob only affects task granularity.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.ui.enabled", "false")
-    )
+    defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
     if not external_master:
-        # startup-only conf: meaningless once spark-submit has launched the JVM
-        builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        # LOCAL-ONLY tuning — never forced onto a spark-submit launch:
+        # * 16MB parquet splits: the default 128MB maxPartitionBytes coalesces
+        #   a ~500MB binary-column table into ~4 splits, capping the scan at
+        #   4-way parallelism no matter how many cores the session has
+        #   (measured: decode stage identical wall time at local[8] and
+        #   local[32]).  On a real cluster the operator sizes this.
+        # * UI off: pointless for throwaway local sessions; a production run
+        #   wants its UI.
+        # * driver memory: startup-only, meaningless once spark-submit has
+        #   launched the JVM.
+        defaults["spark.sql.files.maxPartitionBytes"] = "16m"
+        defaults["spark.ui.enabled"] = "false"
+        defaults["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
         )
+    else:
+        # builder.config OVERRIDES spark-submit system properties — apply the
+        # semantic defaults (AQE / Arrow / UTC) only where the operator's
+        # --conf / spark-defaults.conf did not already choose a value.
+        from pyspark import SparkConf
+
+        preset = dict(SparkConf().getAll())
+        defaults = {k: v for k, v in defaults.items() if k not in preset}
+    for k, v in defaults.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -108,10 +108,12 @@ def stream_quality_filter(
       (``pipeline.dedup_index`` / ``hamming_dedup_index`` over the historical
       corpus).  The stream-static left join flags every arriving image whose
       key already belongs to a known duplicate group — the continuous-ingest
-      design: new data is checked against the curated history, and the index
-      is refreshed out-of-band (each micro-batch re-reads the static source,
-      so an orchestrator can atomically swap the index location between
-      batches).  Batch-equivalent to ``run_pipeline(df, dedup=idx)``.
+      design: new data is checked against the curated history.  The index is
+      FIXED for the lifetime of the query: a parquet DataFrame's file listing
+      is captured at creation, so refreshing the index means stopping the
+      query and restarting it (same checkpoint — exactly-once resume makes
+      the restart cheap) with a re-read index.  Batch-equivalent to
+      ``run_pipeline(df, dedup=idx)``.
     * ``dedupe_within`` (e.g. "1 hour") — BOUNDED-STATE in-stream dedup:
       later arrivals with an already-seen ``cfg.dedupe_on`` key are DROPPED
       via ``dropDuplicatesWithinWatermark`` (state per key expires once the
@@ -125,9 +127,17 @@ def stream_quality_filter(
     from dataqualitycontroltool_spark.graft.rules import KeepDropConfig
 
     cfg = cfg or KeepDropConfig()
-    if static_dedup is not None and cfg.dedupe_on:
+    if static_dedup is not None and dedupe_within:
+        raise ValueError("static_dedup and dedupe_within are mutually exclusive")
+    if (static_dedup is not None or dedupe_within) and not cfg.dedupe_on:
+        # silently flagging zero duplicates after the caller handed us a
+        # dedup index / retention window would discard their intent
+        raise ValueError(
+            "dedup requested but cfg.dedupe_on is empty — set the key column"
+        )
+    if static_dedup is not None:
         return run_pipeline(stream_df, cfg, dedup=static_dedup)
-    if dedupe_within and cfg.dedupe_on:
+    if dedupe_within:
         stream_df = (
             stream_df.withColumn(time_col, F.col(time_col).cast("timestamp"))
             .withWatermark(time_col, dedupe_within)

@@ -136,6 +136,27 @@ def test_legacy_jsonl_manifest_still_read(spark, tmp_path):
     assert manifest[1]["kept"] == 9  # marker wins over the legacy line
 
 
+def test_corrupt_marker_treated_as_not_done(spark, tmp_path):
+    """A crash between marker create() and write leaves an empty/truncated
+    file; resume must treat that partition as NOT done (and re-run it), not
+    wedge every future run on a JSONDecodeError."""
+    in_path = str(tmp_path / "input")
+    synth.write_images(spark, in_path, 200, 2, seed=3)
+    out = str(tmp_path / "out")
+
+    checkpoint.run_resumable(spark, in_path, out, KeepDropConfig())
+    assert sorted(checkpoint.read_manifest(out, spark)) == [0, 1]
+
+    # simulate the crash window: truncate one marker
+    import pathlib
+    (pathlib.Path(out) / "_manifest" / "part-1.json").write_text("")
+    assert sorted(checkpoint.read_manifest(out, spark)) == [0]
+
+    redo = checkpoint.run_resumable(spark, in_path, out, KeepDropConfig())
+    assert [r["part"] for r in redo] == [1]  # re-ran exactly the broken one
+    assert sorted(checkpoint.read_manifest(out, spark)) == [0, 1]
+
+
 def test_bare_relative_path_is_not_a_table_ref(tmp_path, monkeypatch):
     from dataqualitycontroltool_spark.graft.io import is_table_ref
 

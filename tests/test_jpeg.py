@@ -157,6 +157,36 @@ def test_truncated_entropy_still_raises():
         jpeg.decode(bs[:cut])
 
 
+def test_dangling_ff_at_eof_is_truncation_not_data():
+    # a stream cut one byte into the trailing EOI ends with a bare 0xFF;
+    # T.81 F.1.2.3 requires FF in entropy data be followed by 00 or a marker
+    # byte, so the dangling FF must count as MISSING bits (truncation /
+    # invalid-code error path), never as eight spurious 1-bits of data
+    img = _natural(32, 40)
+    bs = jpeg.encode(img, 95)
+    assert bs[-2:] == b"\xff\xd9"
+    truncated = bs[:-1]  # ends ... FF
+    try:
+        dec = jpeg.decode(truncated)
+        # decoding may legitimately succeed if no bits past the true entropy
+        # end are needed — but then it must equal the intact decode
+        assert np.array_equal(dec, jpeg.decode(bs))
+    except ValueError as e:
+        assert "truncated" in str(e) or "invalid Huffman" in str(e)
+
+
+def test_lut_cache_is_bounded():
+    from dataqualitycontroltool_spark.graft.jpeg import (
+        _LUT_CACHE, _LUT_CACHE_MAX, _huff_lut)
+
+    # distinct single-symbol tables simulate per-image optimized Huffman DHTs
+    for sym in range(_LUT_CACHE_MAX * 3):
+        bits = [0] * 16
+        bits[7] = 1
+        _huff_lut(bits, [sym % 251])
+    assert len(_LUT_CACHE) <= _LUT_CACHE_MAX
+
+
 def test_non_interleaved_scan_raises():
     img = _natural(24, 24)
     bs = bytearray(jpeg.encode(img, 95))

@@ -169,3 +169,13 @@ def test_profile_table_dispatch(spark):
     nc = profs["n_chars"].collect()[0]
     assert nc.min >= 0 and nc.q1 <= nc.median <= nc.q3 <= nc.max
     assert profs["source"].collect()[0].unique > 0
+
+
+def test_unknown_quartile_strategy_raises(spark):
+    # exact="distribued" (typo) must not silently bool() to the
+    # single-reducer exact percentile path
+    from dataqualitycontroltool_spark.operators import profiler
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="distributed"):
+        profiler.profile_numerical(df, "x", exact="distribued").collect()

@@ -92,6 +92,21 @@ def test_nan_and_bad_p_rejected(spark):
     assert exact_quantiles(ok, "x", []) == []
 
 
+def test_range_overflowing_double_width(spark):
+    # hi - lo overflows to inf (values near both ±DBL_MAX): equi-width
+    # bucketing is ill-defined, so refinement must degrade to exact midpoint
+    # splits — NOT dump the full column on the terminal distinct-value pass.
+    big = 1.7e308
+    rng = random.Random(3)
+    vals = (
+        [-big + i * 1e300 for i in range(50)]
+        + [big - i * 1e300 for i in range(50)]
+        + [rng.uniform(-1e9, 1e9) for _ in range(2000)]
+    )
+    rng.shuffle(vals)
+    _check(spark, vals, terminal_rows=64)
+
+
 def test_randomized_equivalence(spark):
     rng = random.Random(123)
     for trial in range(6):

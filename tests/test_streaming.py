@@ -173,3 +173,17 @@ def test_stream_static_dedup_index_equals_batch(spark, tmp_path):
     b = {r.image_id: (r.is_dup, r.keep, r.drop_reason) for r in batch.collect()}
     assert s == b and len(s) == 300
     assert any(v[0] for v in s.values())  # synth corpus has real dup groups
+
+
+def test_conflicting_dedup_args_raise(spark):
+    """A supplied dedup index / retention window must never be silently
+    discarded: conflicting or inert argument combinations raise."""
+    stream = spark.readStream.format("rate").load()
+    idx = spark.createDataFrame([(1, "a")], "phash long, keeper_id string")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        st.stream_quality_filter(stream, static_dedup=idx, dedupe_within="1 hour")
+    no_key = KeepDropConfig(dedupe_on="")
+    with pytest.raises(ValueError, match="dedupe_on"):
+        st.stream_quality_filter(stream, cfg=no_key, static_dedup=idx)
+    with pytest.raises(ValueError, match="dedupe_on"):
+        st.stream_quality_filter(stream, cfg=no_key, dedupe_within="1 hour")
