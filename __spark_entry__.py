@@ -527,6 +527,18 @@ def q_stratified_sample_documents(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_export_shards_documents(spark, sf_dir):
+    """Training-data export: deterministic shuffle-and-shard — every kept
+    document gets a shard (md5-prefix mod 8) and a 1-based position in the
+    shard's pseudo-random order.  One shuffle, per-shard sort, no global
+    sort (operators/export.py)."""
+    from dataqualitycontroltool_spark.operators import export
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = export.shard_table(docs, "doc_id", n_shards=8, seed="42")
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_multimodal_image_features(spark, sf_dir):
     """Multimodal path: synthesize a deterministic image batch (seed 42),
     decode + extract block-mean embeddings + ANN top-3 over them — exercises
@@ -716,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "boilerplate_line_removal": q_boilerplate_line_removal,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "export_shards_documents": q_export_shards_documents,
     }
 
 
@@ -1367,6 +1380,20 @@ def oracle_sql() -> dict[str, str]:
               WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)
                              < '40000000'
               ELSE FALSE END
+        """,
+        "export_shards_documents": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || '|42') AS hh
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
+                        AS INT) AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
+                        ORDER BY hh, doc_id) AS BIGINT) AS pos
+            FROM h
         """,
         "consensus_cascade_events": """
             WITH daily AS (

@@ -1,0 +1,104 @@
+"""Deterministic shuffle-and-shard export (operators/export.py): total
+pseudo-random order, balanced shards, engine-replayable assignment, and a
+write path that preserves order with one file per shard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.operators import export
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_shard_assignment_deterministic_and_total(spark, docs):
+    a = export.shard_table(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+    b = export.shard_table(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+    ra, rb = (sorted(x.collect()) for x in (a, b))
+    assert ra == rb  # rerun == rerun (no RNG state)
+    n = docs.count()
+    assert len(ra) == n
+    # pos is a 1..k permutation within every shard
+    per_shard = {}
+    for r in ra:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(per_shard) == set(range(8))
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # hash balance: no shard more than 2x the ideal share (binomial, n/8)
+    assert max(len(p) for p in per_shard.values()) < 2 * (n / 8)
+
+
+def test_shard_order_decorrelated_from_id_order(docs):
+    # the whole point: storage order must not follow id (ingest) order
+    rows = (
+        export.shard_table(docs, "doc_id", 1)
+        .orderBy("pos")
+        .select("doc_id")
+        .collect()
+    )
+    ids = [r.doc_id for r in rows]
+    assert ids != sorted(ids)
+    # Spearman-ish check: adjacent ids in shuffle order are rarely adjacent
+    adjacent = sum(1 for x, y in zip(ids, ids[1:]) if abs(x - y) == 1)
+    assert adjacent < len(ids) * 0.05
+
+
+def test_write_shards_roundtrip_and_manifest(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = export.write_shards(
+        docs, out, "doc_id", n_shards=4, token_col="n_chars"
+    )
+    m = {r.shard: (r.rows, r.tokens) for r in manifest.collect()}
+    assert set(m) == set(range(4))
+    assert sum(r for r, _ in m.values()) == docs.count()
+
+    back = spark.read.parquet(out)  # _shards_manifest must be invisible
+    assert back.count() == docs.count()
+    want_tokens = docs.agg(F.sum(F.col("n_chars").cast("bigint"))).first()[0]
+    assert sum(t for _, t in m.values()) == want_tokens
+
+    # one data file per shard, rows stored in pos order within it
+    for shard in range(4):
+        part = spark.read.parquet(f"{out}/shard={shard}")
+        files = [r[0] for r in part.select(F.input_file_name()).distinct().collect()]
+        assert len(files) == 1
+        stored = [r.pos for r in part.select("pos").collect()]
+        assert stored == sorted(stored)
+
+
+def test_bad_n_shards_raises(docs):
+    with pytest.raises(ValueError, match="n_shards"):
+        export.shard_table(docs, "doc_id", 0)
+
+
+def test_oracle_parity_duckdb(spark, docs):
+    """The md5-prefix shard/pos assignment replays exactly in DuckDB (the
+    oracle contract for export_shards_documents)."""
+    duckdb = pytest.importorskip("duckdb")
+    got = sorted(
+        export.shard_table(docs, "doc_id", 8)
+        .select("doc_id", "shard", "pos")
+        .collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            f"""
+            WITH h AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|42') AS hh
+              FROM read_parquet('{SF}/documents.parquet')
+            )
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(hh,1,8)) AS BIGINT) % 8 AS INT),
+                   CAST(row_number() OVER (
+                        PARTITION BY CAST(('0x' || substr(hh,1,8)) AS BIGINT) % 8
+                        ORDER BY hh, doc_id) AS BIGINT)
+            FROM h
+            """
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
