@@ -539,6 +539,23 @@ def q_export_shards_documents(spark, sf_dir):
     return out.select("doc_id", "shard", "pos")
 
 
+def q_pack_sequences_documents(spark, sf_dir):
+    """Concat-and-chop sequence packing: documents laid head-to-tail in
+    deterministic shuffle order, chopped into 2048-token training windows
+    (n_chars as the token proxy); one exchange, one window
+    (operators/export.py)."""
+    from dataqualitycontroltool_spark.operators import export
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = export.pack_sequences(
+        docs, "doc_id", "n_chars", seq_tokens=2048, n_shards=4, seed="42"
+    )
+    return out.select(
+        "doc_id", "shard", "pos", "token_offset", "seq_id", "seq_offset",
+        "seq_span",
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     """Multimodal path: synthesize a deterministic image batch (seed 42),
     decode + extract block-mean embeddings + ANN top-3 over them — exercises
@@ -729,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_removal": q_boilerplate_line_removal,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
     }
 
 
@@ -1394,6 +1412,32 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8
                         ORDER BY hh, doc_id) AS BIGINT) AS pos
             FROM h
+        """,
+        "pack_sequences_documents": """
+            WITH h AS (
+              SELECT doc_id,
+                     COALESCE(CAST(n_chars AS BIGINT), 0) AS tok,
+                     md5(CAST(doc_id AS VARCHAR) || '|42') AS hh,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '|42'), 1, 8)) AS BIGINT) % 4 AS INT) AS shard
+              FROM documents
+            ),
+            packed AS (
+              SELECT doc_id, shard, tok,
+                     CAST(row_number() OVER w AS BIGINT) AS pos,
+                     CAST(sum(tok) OVER w - tok AS BIGINT) AS token_offset
+              FROM h
+              WINDOW w AS (PARTITION BY shard ORDER BY hh, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT doc_id, shard, pos, token_offset,
+                   CAST(floor(token_offset / 2048.0) AS BIGINT) AS seq_id,
+                   token_offset % 2048 AS seq_offset,
+                   CAST(CASE WHEN tok <= 0 THEN 0
+                        ELSE floor((token_offset + tok - 1) / 2048.0)
+                             - floor(token_offset / 2048.0) + 1
+                        END AS INT) AS seq_span
+            FROM packed
         """,
         "consensus_cascade_events": """
             WITH daily AS (

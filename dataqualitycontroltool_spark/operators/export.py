@@ -59,6 +59,76 @@ def shard_table(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_tokens: int,
+    n_shards: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: lay documents head-to-tail in the
+    deterministic shuffle order of :func:`shard_table` and chop the token
+    stream into fixed windows of ``seq_tokens`` — the GPT-style packing that
+    turns a curated corpus into training sequences with no padding waste.
+
+    Adds per document:
+
+    * ``shard``, ``pos`` — as :func:`shard_table`;
+    * ``token_offset`` — tokens strictly before this document in its shard's
+      stream (running sum);
+    * ``seq_id`` — index of the training sequence where the document STARTS
+      (``token_offset // seq_tokens``);
+    * ``seq_offset`` — position within that sequence;
+    * ``seq_span`` — how many sequences the document touches (a document
+      longer than the window is chopped across several).
+
+    ONE exchange + ONE per-shard sort: ``pos`` and the running token sum
+    use the same partitioning and ordering, so the plan shuffles and sorts
+    once and both window functions stream over that single sorted run —
+    packing costs one in-memory pass beyond the shard assignment itself,
+    no extra exchange.  Boundary documents are split at read time
+    by the consumer (offsets are exact); re-running reproduces identical
+    packing (no RNG state), which keeps a resumed export byte-stable.
+    """
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _shuffle_key(id_col, seed)
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    tokens = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    cum = F.sum(tokens).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .withColumn("token_offset", cum - tokens)
+        .withColumn(
+            "seq_id", F.floor(F.col("token_offset") / F.lit(seq_tokens))
+        )
+        .withColumn(
+            "seq_offset", F.pmod(F.col("token_offset"), F.lit(seq_tokens))
+        )
+        .withColumn(
+            "seq_span",
+            F.when(tokens <= 0, F.lit(0)).otherwise(
+                F.floor(
+                    (F.col("token_offset") + tokens - 1) / F.lit(seq_tokens)
+                )
+                - F.col("seq_id")
+                + 1
+            ).cast("int"),
+        )
+        .drop("_h")
+    )
+
+
 def write_shards(
     df: DataFrame,
     out_path: str,

@@ -102,3 +102,50 @@ def test_oracle_parity_duckdb(spark, docs):
         ).fetchall()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pack_sequences_invariants(spark, docs):
+    seq = 512
+    out = export.pack_sequences(
+        docs, "doc_id", "n_chars", seq_tokens=seq, n_shards=4
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        cum = 0
+        for r in rows:
+            # token_offset is the exact running sum of the shard stream
+            assert r.token_offset == cum
+            assert r.seq_id == cum // seq
+            assert r.seq_offset == cum % seq
+            tok = r.n_chars or 0
+            want_span = 0 if tok <= 0 else (cum + tok - 1) // seq - cum // seq + 1
+            assert r.seq_span == want_span
+            cum += tok
+    # the fixture corpus must actually exercise boundary chopping
+    assert any(r.seq_span >= 2 for r in out)
+
+
+def test_pack_sequences_single_window_plan(docs):
+    import io, contextlib
+
+    df = export.pack_sequences(docs, "doc_id", "n_chars", 2048, 4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the expensive parts must not duplicate: both window functions share
+    # one shard shuffle and one per-shard sort (they stream over the same
+    # sorted run as separate Window passes — no extra exchange, no re-sort)
+    assert sum(l.strip().startswith("(") and ") Exchange" in l for l in plan.splitlines()) == 1
+    assert sum(l.strip().startswith("(") and ") Sort" in l for l in plan.splitlines()) == 1
+
+
+def test_pack_sequences_bad_args(docs):
+    with pytest.raises(ValueError, match="seq_tokens"):
+        export.pack_sequences(docs, "doc_id", "n_chars", 0, 4)
+    with pytest.raises(ValueError, match="n_shards"):
+        export.pack_sequences(docs, "doc_id", "n_chars", 2048, 0)
