@@ -149,3 +149,36 @@ def test_pack_sequences_bad_args(docs):
         export.pack_sequences(docs, "doc_id", "n_chars", 0, 4)
     with pytest.raises(ValueError, match="n_shards"):
         export.pack_sequences(docs, "doc_id", "n_chars", 2048, 0)
+
+
+def test_pack_sequences_adversarial_tokens(spark):
+    """NULL / zero / window-sized / many-window documents: offsets stay an
+    exact running sum, spans chop correctly, NULL counts as 0 tokens."""
+    seq = 100
+    rows = [
+        (1, None),      # NULL tokens -> 0
+        (2, 0),         # empty doc
+        (3, 1),
+        (4, 100),       # exactly one window
+        (5, 99),
+        (6, 1000),      # spans many windows
+        (7, 101),       # one token over
+        (8, 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = sorted(
+        export.pack_sequences(df, "doc_id", "tok", seq, n_shards=1).collect(),
+        key=lambda r: r.pos,
+    )
+    cum = 0
+    for r in out:
+        tok = r.tok or 0
+        assert r.token_offset == cum
+        assert r.seq_id == cum // seq and r.seq_offset == cum % seq
+        want_span = 0 if tok <= 0 else (cum + tok - 1) // seq - cum // seq + 1
+        assert r.seq_span == want_span
+        cum += tok
+    assert cum == 1351
+    spans = {r.doc_id: r.seq_span for r in out}
+    assert spans[1] == 0 and spans[2] == 0  # null/empty touch no window
+    assert spans[6] >= 10  # the 1000-token doc crosses many windows
