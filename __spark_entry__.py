@@ -503,6 +503,59 @@ def q_curate_documents(spark, sf_dir):
     return corpus.curate_documents(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_group_representatives(spark, sf_dir):
+    """Quality-aware duplicate-cluster survivor election: per (user_id, day)
+    event cluster (>=2 members), keep the member with the longest props
+    payload (ties -> smallest event_id) — one partial-aggregated
+    min(struct(-score, id)) around a single exchange, no window sort
+    (operators/corpus.py:select_representatives)."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.length("props").cast("bigint").alias("props_len"),
+    )
+    reps = corpus.select_representatives(
+        ev, "event_id", ["user_id", "day"], "props_len"
+    )
+    return reps.where(F.col("n_members") > 1).select(
+        "user_id",
+        "day",
+        "rep_id",
+        F.col("rep_score").cast("bigint").alias("rep_score"),
+        "n_members",
+    )
+
+
+def q_aspect_buckets_part(spark, sf_dir):
+    """Aspect-ratio bucketing for multi-resolution image training (SDXL
+    appendix I / NovelAI): nearest-log-aspect-ratio bucket + cover-resize
+    scale as ONE pure Catalyst projection — literal bucket array,
+    ``transform`` distance, ``array_min`` tie-break (d, bw, bh) — no UDF,
+    no shuffle (graft/buckets.py).  Image dims are derived deterministically
+    from part (no image table at this sf); every 97th key gets a NULL width
+    to exercise the invalid-dims path."""
+    from dataqualitycontroltool_spark.graft import buckets
+
+    bs = buckets.standard_buckets(
+        target_area=512 * 512, step=64, min_side=256, max_side=1024
+    )
+    imgs = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("image_id"),
+        F.when(
+            F.col("p_partkey") % 97 != 0,
+            (256 + (F.col("p_partkey") % 24) * 32).cast("int"),
+        ).alias("w"),
+        (256 + F.floor(F.col("p_partkey") / 7) % 24 * 32).cast("int").alias("h"),
+    )
+    out = buckets.assign_aspect_buckets(imgs, buckets=bs)
+    return out.select(
+        "image_id", "w", "h", "bucket_w", "bucket_h", "resize_scale"
+    )
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -736,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_expr_orders": q_mapping_expr_orders,
         "consensus_cascade_events": q_consensus_cascade_events,
         "curate_documents": q_curate_documents,
+        "dedup_group_representatives": q_dedup_group_representatives,
+        "aspect_buckets_part": q_aspect_buckets_part,
         "windowed_validation_events": q_windowed_validation_events,
         "connected_components_docs": q_connected_components_docs,
         "sessionize_batch_events": q_sessionize_batch_events,
@@ -792,6 +847,17 @@ _SOURCE_STATUS = """
 # --- shared oracle fragments for dedup / similarity / text analysis -------
 
 # distinct 3-token shingles per document (1-based list indexing in DuckDB)
+# the SDXL-style bucket list is pure integer arithmetic (engine-independent),
+# so the oracle embeds the exact list the Spark query uses
+from dataqualitycontroltool_spark.graft.buckets import standard_buckets as _std_buckets  # noqa: E402
+
+_ASPECT_BUCKET_VALUES = ", ".join(
+    f"({w}, {h})"
+    for w, h in _std_buckets(
+        target_area=512 * 512, step=64, min_side=256, max_side=1024
+    )
+)
+
 _SH_CTE = r"""
 tok AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
@@ -1032,6 +1098,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(trim(lower(props)), '\s+', ' ', 'g')) AS fingerprint,
                    count(*) AS n_rows, min(event_id) AS survivor_id
             FROM events GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_group_representatives": r"""
+            WITH t AS (
+              SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+                     length(props) AS props_len
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, day, event_id, props_len,
+                     count(*) OVER (PARTITION BY user_id, day) AS n_members,
+                     row_number() OVER (PARTITION BY user_id, day
+                         ORDER BY props_len DESC NULLS LAST, event_id ASC) AS rn
+              FROM t
+            )
+            SELECT user_id, day, event_id AS rep_id,
+                   CAST(props_len AS BIGINT) AS rep_score,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM r WHERE rn = 1 AND n_members > 1
+        """,
+        "aspect_buckets_part": f"""
+            WITH imgs AS (
+              SELECT CAST(p_partkey AS BIGINT) AS image_id,
+                     CASE WHEN p_partkey % 97 <> 0
+                          THEN CAST(256 + (p_partkey % 24) * 32 AS INT) END AS w,
+                     CAST(256 + ((p_partkey // 7) % 24) * 32 AS INT) AS h
+              FROM part
+            ),
+            b(bw, bh) AS (VALUES {_ASPECT_BUCKET_VALUES}),
+            d AS (
+              SELECT i.image_id, b.bw, b.bh,
+                     round(abs(ln(CAST(i.w AS DOUBLE) / i.h)
+                               - ln(CAST(b.bw AS DOUBLE) / b.bh)), 9) AS dist
+              FROM imgs i CROSS JOIN b
+              WHERE i.w IS NOT NULL AND i.h IS NOT NULL AND i.w > 0 AND i.h > 0
+            ),
+            best AS (
+              SELECT image_id, bw, bh,
+                     row_number() OVER (PARTITION BY image_id
+                         ORDER BY dist, bw, bh) AS rn
+              FROM d
+            )
+            SELECT i.image_id, i.w, i.h,
+                   CAST(r.bw AS INT) AS bucket_w, CAST(r.bh AS INT) AS bucket_h,
+                   round(greatest(r.bw / CAST(i.w AS DOUBLE),
+                                  r.bh / CAST(i.h AS DOUBLE)), 6) AS resize_scale
+            FROM imgs i
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) r USING (image_id)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SH_CTE},

@@ -95,25 +95,34 @@ def generate(rows: int) -> None:
                    stderr=subprocess.DEVNULL)
 
 
-def run_level(cpus: int, repeats: int = 3) -> dict:
-    """Best-of-N wall time: this sandbox is a shared box with ±30% run-to-run
-    noise (measured: 16.6-37.8s for identical 16-core runs); the MINIMUM is
-    the least-interference estimate of the job's true cost — standard
-    practice for walltime benchmarking on non-isolated hardware."""
+def _run_once(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cpus), DATA,
+         f"/tmp/dqc_scaling_out_{cpus}"],
+        check=True, capture_output=True, text=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_paired(repeats: int = 3) -> tuple[dict, dict]:
+    """Best-of-N wall time per level, with the levels INTERLEAVED
+    (N, 4N, N, 4N, ...): this sandbox is a shared box with ±30% run-to-run
+    noise (measured: 16.6-37.8s for identical 16-core runs), and running all
+    of one level before all of the other lets a load ramp during one half
+    bias the efficiency ratio.  Interleaving exposes both levels to the same
+    interference window; the MINIMUM per level is the least-interference
+    estimate of the job's true cost — standard practice for walltime
+    benchmarking on non-isolated hardware."""
     import time as _time
 
-    best = None
+    best: dict[int, dict] = {}
     for _ in range(repeats):
-        out = subprocess.run(
-            [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cpus), DATA,
-             f"/tmp/dqc_scaling_out_{cpus}"],
-            check=True, capture_output=True, text=True,
-        )
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["wall_s"] < best["wall_s"]:
-            best = r
-        _time.sleep(5)  # let the exiting JVM/page flushes settle
-    return best
+        for cpus in (4, 16):
+            r = _run_once(cpus)
+            if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
+                best[cpus] = r
+            _time.sleep(5)  # let the exiting JVM/page flushes settle
+    return best[4], best[16]
 
 
 def main() -> None:
@@ -126,8 +135,10 @@ def main() -> None:
         generate(args.rows)
         marker.touch()
 
-    r8 = run_level(4)
-    r32 = run_level(16)
+    # external-contention evidence: sample load BEFORE we spawn anything —
+    # the at-finish loadavg is dominated by our own just-exited run
+    load_pre = os.getloadavg()[0]
+    r8, r32 = run_paired()
     eff = r32["images_per_sec"] / (4 * r8["images_per_sec"])
     result = {
         "metric": "graft_pipeline_scaling",
@@ -142,7 +153,48 @@ def main() -> None:
 
     bench_dir = Path(REPO) / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — measured scaling (north rule)
+    baseline = bench_dir / "BASELINE.md"
+
+    # A non-canonical --rows run (quick drive / debugging) must not rewrite
+    # the published evidence: the history table's contract is "SAME
+    # job/input", and at small sizes per-job fixed costs dominate, so the
+    # efficiency number would be meaningless alongside the 96000-row rows.
+    if args.rows != 96000:
+        print(json.dumps({"note": "non-canonical rows; BASELINE.md not "
+                                  "updated", "rows": args.rows}))
+        return
+
+    # cross-session history: parse prior rows out of the existing file so a
+    # re-run APPENDS evidence instead of erasing it (the variance record is
+    # part of the honesty contract)
+    hist_begin, hist_end = "<!-- scaling-history -->", "<!-- /scaling-history -->"
+    hist_rows: list[str] = []
+    if baseline.exists():
+        in_hist = False
+        for line in baseline.read_text().splitlines():
+            if line.strip() == hist_begin:
+                in_hist = True
+            elif line.strip() == hist_end:
+                in_hist = False
+            elif in_hist and line.startswith("|") and "---" not in line \
+                    and not line.startswith("| session"):
+                hist_rows.append(line)
+    hist_rows.append(
+        f"| {date.today().isoformat()} (1-min load {load_pre:.1f} at start) "
+        f"| {r8['images_per_sec']} | {r32['images_per_sec']} "
+        f"| {round(eff, 3)} | {'PASS' if eff >= 0.8 else 'FAIL'} |"
+    )
+    history = "\n".join(
+        [
+            hist_begin,
+            "| session | N img/s | 4N img/s | efficiency | verdict |",
+            "|---|---|---|---|---|",
+            *hist_rows,
+            hist_end,
+        ]
+    )
+
+    baseline.write_text(f"""# BENCH/BASELINE — measured scaling (north rule)
 
 Measured {date.today().isoformat()} on this sandbox (single machine, 32 cores,
 local-mode Spark).  The north rule's "N vs 4N executors" criterion cannot use
@@ -172,6 +224,18 @@ the minimum is the least-interference estimate).
 
 **Scaling efficiency thr(4N) / (4·thr(N)) = {round(eff, 3)}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+All paired measurements of the SAME job/input across sessions (each row =
+one `bench_scaling.py` run, best-of-3 fresh-JVM repeats per level; this
+shared sandbox carries external load at times, so the spread is external
+interference, not the pipeline — the 4N level needs ~48 free threads and
+degrades first when the box is busy):
+
+{history}
+
+(Runs with a non-canonical `--rows` — quick drives / debugging — do not
+update this file: at small sizes per-job fixed costs dominate and the
+efficiency number is not comparable.)
 
 Why it scales: the `bytes` column never enters a shuffle — the dedup index
 is reduced map-side (partial hash-aggregate over (phash, image_id) only) and

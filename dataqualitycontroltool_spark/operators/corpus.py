@@ -94,6 +94,55 @@ def curate_documents(
     )
 
 
+def select_representatives(
+    df: DataFrame, id_col: str, group_cols, score_col: str
+) -> DataFrame:
+    """Quality-aware survivor election: one row per group with the
+    HIGHEST-scoring member as ``rep_id`` (ties broken by smallest id, the
+    package-wide deterministic keep policy).  This upgrades the min-id
+    survivor of :func:`dedup.exact_duplicate_groups` to the policy real
+    curation pipelines use — keep the best member of a duplicate cluster
+    (longest / highest-quality), drop the rest.
+
+    Scale shape: ONE aggregate around a single exchange, no window.  The
+    election is ``min(struct(-score, id, score))`` — struct ordering
+    compares ``-score`` first (min of the negation == max score), then
+    ``id`` (unique, so the trailing payload field never participates).
+    The planner picks SortAggregate (a struct min has no mutable hash
+    buffer), but the map-side PARTIAL aggregation still fires: each task
+    sorts only its own partition on the group key and emits one candidate
+    row per distinct group, so a million-member duplicate cluster crosses
+    the wire as one (group, candidate) pair per task — never a global
+    window sort over the corpus.
+    A NULL score coalesces to +inf in the negated key, so an unscored
+    member loses to any scored one (and wins only in all-NULL groups,
+    where ``rep_score`` is honestly NULL).
+
+    ``group_cols`` may be one column name or a list (composite cluster
+    keys — e.g. (user_id, day) event clusters — group exactly like a
+    single fingerprint).  Returns (*group_cols, rep_id, rep_score,
+    n_members).
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    s = F.col(score_col).cast("double")
+    key = F.struct(
+        F.coalesce(-s, F.lit(float("inf"))).alias("neg"),
+        F.col(id_col).alias("i"),
+        F.col(score_col).alias("orig"),
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.min(key).alias("_b"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            *group_cols,
+            F.col("_b.i").alias("rep_id"),
+            F.col("_b.orig").alias("rep_score"),
+            "n_members",
+        )
+    )
+
+
 def curation_lineage(curated: DataFrame) -> DataFrame:
     """Corpus-level lineage row: totals per drop reason + kept count."""
     return (

@@ -273,3 +273,55 @@ def test_stratified_sample_nested_decisions(spark):
     quarter = {r.doc_id for r in
                corpus.stratified_sample(df, "doc_id", "lang", {"en": 0.25}).collect()}
     assert quarter <= half
+
+
+def test_select_representatives(spark):
+    # quality-aware survivor election: max score wins, ties -> smallest id,
+    # NULL score loses to any scored member, all-NULL group keeps min id
+    # with an honestly-NULL rep_score.
+    from dataqualitycontroltool_spark.operators import corpus
+
+    rows = [
+        ("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 20.0),   # max wins
+        ("g2", 5, 7.0), ("g2", 4, 7.0),                      # tie -> min id
+        ("g3", 6, None), ("g3", 7, 1.0),                     # NULL loses
+        ("g4", 9, None), ("g4", 8, None),                    # all NULL -> min id
+        ("g5", 10, 5.0),                                     # singleton
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    out = {r.g: (r.rep_id, r.rep_score, r.n_members)
+           for r in corpus.select_representatives(df, "id", "g", "score").collect()}
+    assert out["g1"] == (2, 30.0, 3)
+    assert out["g2"] == (4, 7.0, 2)
+    assert out["g3"] == (7, 1.0, 2)
+    assert out["g4"] == (8, None, 2)
+    assert out["g5"] == (10, 5.0, 1)
+    # string ids: ordering falls back to the id column's natural order
+    sdf = spark.createDataFrame(
+        [("g", "b", 1.0), ("g", "a", 1.0)], "g string, id string, score double")
+    rep = corpus.select_representatives(sdf, "id", "g", "score").collect()[0]
+    assert rep.rep_id == "a"
+
+
+def test_select_representatives_plan_shape(spark):
+    # scale contract: ONE aggregate (map-side partial + final around a
+    # single exchange), never a window sort over the corpus
+    from dataqualitycontroltool_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i % 13)) for i in range(200)],
+        "id long, g long, score double",
+    )
+    reps = corpus.select_representatives(df, "id", ["g"], "score")
+    plan = reps._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan, plan  # map-side reduction fires
+    # composite keys group like a single fingerprint
+    df2 = spark.createDataFrame(
+        [(1, "u", "d1", 2.0), (2, "u", "d1", 3.0), (3, "u", "d2", 1.0)],
+        "id long, u string, d string, score double",
+    )
+    out = {(r.u, r.d): r.rep_id for r in
+           corpus.select_representatives(df2, "id", ["u", "d"], "score").collect()}
+    assert out == {("u", "d1"): 2, ("u", "d2"): 3}
