@@ -556,6 +556,45 @@ def q_aspect_buckets_part(spark, sf_dir):
     )
 
 
+def q_embedding_centroid_outliers(spark, sf_dir):
+    """Embedding quality signal (cluster-conditional CLIP-score analogue):
+    round-6 cosine of every vector to its label centroid, off-topic rows
+    flagged below 0.0 (the testdata clusters are loose: median cos-to-
+    centroid ~0.15, so 0 flags the ~10% tail).  posexplode + partial-agg centroid, plain equi-join
+    back, map-side cosine fold (operators/similarity.py:centroid_outliers)."""
+    from dataqualitycontroltool_spark.operators import similarity
+
+    return similarity.centroid_outliers(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        threshold=0.0,
+    )
+
+
+def q_caption_alignment_docs(spark, sf_dir):
+    """CLIP-score-style caption-image alignment filter (graft/alignment.py):
+    the caption side is a deterministic feature-hashed bag-of-words
+    embedding (Weinberger et al. 2009 — md5 slot/sign, pure Catalyst, no
+    UDF), the image side is the paired stored vector; keep when the round-6
+    cosine >= 0.  A model-backed encoder swaps into the same column
+    contract."""
+    from dataqualitycontroltool_spark.graft import alignment
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = docs.join(emb, docs.doc_id == emb.vec_id)
+    out = alignment.alignment_filter(
+        pairs, threshold=0.0, caption_col="text", image_vec_col="embedding"
+    )
+    return out.select("doc_id", "alignment", "keep")
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -791,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "dedup_group_representatives": q_dedup_group_representatives,
         "aspect_buckets_part": q_aspect_buckets_part,
+        "embedding_centroid_outliers": q_embedding_centroid_outliers,
+        "caption_alignment_docs": q_caption_alignment_docs,
         "windowed_validation_events": q_windowed_validation_events,
         "connected_components_docs": q_connected_components_docs,
         "sessionize_batch_events": q_sessionize_batch_events,
@@ -1145,6 +1186,76 @@ def oracle_sql() -> dict[str, str]:
                                   r.bh / CAST(i.h AS DOUBLE)), 6) AS resize_scale
             FROM imgs i
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) r USING (image_id)
+        """,
+        "embedding_centroid_outliers": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL
+            ),
+            u AS (
+              SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS p
+              FROM e
+            ),
+            c AS (SELECT label, p, round(avg(x), 9) AS m FROM u GROUP BY 1, 2),
+            cent AS (SELECT label, list(m ORDER BY p) AS cv FROM c GROUP BY 1),
+            s AS (
+              SELECT e.vec_id, e.label,
+                     round(list_dot_product(e.v, cent.cv), 9) AS num,
+                     round(sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(cent.cv, cent.cv)), 9) AS den
+              FROM e JOIN cent USING (label)
+            )
+            SELECT vec_id, label,
+                   CASE WHEN den > 0 THEN round(num / den, 6) END AS cos_centroid,
+                   coalesce(CASE WHEN den > 0 THEN round(num / den, 6) END < 0.0,
+                            TRUE) AS is_outlier
+            FROM s
+        """,
+        "caption_alignment_docs": r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+              FROM d
+            ),
+            h AS (SELECT doc_id, md5('s1:' || tk) AS m FROM tok),
+            f AS (
+              SELECT doc_id,
+                     ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 64
+                       AS idx,
+                     ((strpos('0123456789abcdef', substr(m, 3, 1)) - 1) % 2) * 2
+                       - 1 AS sgn
+              FROM h
+            ),
+            s AS (
+              SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS w
+              FROM f GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            agg AS (
+              SELECT s.doc_id,
+                     round(sum(s.w * e.v[s.idx + 1]), 9) AS num,
+                     round(sqrt(CAST(sum(s.w * s.w) AS DOUBLE))
+                           * sqrt(any_value(list_dot_product(e.v, e.v))), 9)
+                       AS den
+              FROM s JOIN e ON e.vec_id = s.doc_id
+              GROUP BY s.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN den > 0 THEN round(num / den, 6) END AS alignment,
+                   coalesce(
+                     CASE WHEN den > 0 THEN round(num / den, 6) END >= 0.0,
+                     FALSE) AS keep
+            FROM agg
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SH_CTE},

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 from datetime import date
@@ -96,11 +97,20 @@ def generate(rows: int) -> None:
 
 
 def _run_once(cpus: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cpus), DATA,
-         f"/tmp/dqc_scaling_out_{cpus}"],
-        check=True, capture_output=True, text=True,
-    )
+    """One fresh-JVM child, PINNED to exactly ``cpus`` cores via taskset.
+
+    local[k] caps JVM task slots but NOT the Python UDF worker processes —
+    unpinned, the narrow level silently borrows the machine's idle cores
+    for its workers (measured: unpinned local[4] runs ~12% faster than the
+    same job pinned to 4 cores), inflating the N baseline and
+    under-measuring the ratio.  A real executor has a hard cgroup core
+    budget; the pin recreates it, making the N-vs-4N proxy faithful.
+    """
+    cmd = [sys.executable, "-c", CHILD.replace("__REPO__", REPO), str(cpus),
+           DATA, f"/tmp/dqc_scaling_out_{cpus}"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, check=True, capture_output=True, text=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -179,8 +189,9 @@ def main() -> None:
             elif in_hist and line.startswith("|") and "---" not in line \
                     and not line.startswith("| session"):
                 hist_rows.append(line)
+    pin = "pinned, " if shutil.which("taskset") else ""
     hist_rows.append(
-        f"| {date.today().isoformat()} (1-min load {load_pre:.1f} at start) "
+        f"| {date.today().isoformat()} ({pin}1-min load {load_pre:.1f} at start) "
         f"| {r8['images_per_sec']} | {r32['images_per_sec']} "
         f"| {round(eff, 3)} | {'PASS' if eff >= 0.8 else 'FAIL'} |"
     )
@@ -208,10 +219,15 @@ with `spark.task.cpus=2` (a pandas-UDF task uses a JVM thread AND a Python
 worker concurrently; without it local[8] silently borrows the idle cores for
 its Python workers and the comparison measures oversubscription, not
 scaling) and ParallelGC (G1's humongous-allocation path thrashes on ~39KB
-binary rows).  Levels are local[4] vs local[16] (N vs 4N cores): a
-pandas-UDF task keeps ~3 threads busy (task thread, Arrow writer thread,
-Python worker), so both levels must fit the 32-core box un-contended —
-exactly how two separately-sized executor fleets behave on a real cluster.  Timing excludes one-time costs a long-lived cluster
+binary rows).  Levels are local[4] vs local[16] (N vs 4N cores), each child
+**pinned to exactly its core budget with `taskset`**: local[k] caps JVM task
+slots but not the Python UDF worker processes, so an unpinned narrow level
+borrows the machine's idle cores for its workers and inflates the N
+baseline (measured ~12%); the pin recreates the hard cgroup core budget a
+real executor has.  Both levels fit the 32-core box un-contended — exactly
+how two separately-sized executor fleets behave on a real cluster.  The
+levels are INTERLEAVED (N, 4N, N, 4N, ...) so a load ramp during one half
+cannot bias the ratio.  Timing excludes one-time costs a long-lived cluster
 amortizes: a 5%-sample warm-up spawns the Python worker fleet (~30s for 32
 workers, mostly serial) and fills the codegen cache; each level reports the
 BEST of 3 fresh-JVM runs (this shared sandbox shows ±30% run-to-run noise —
@@ -233,9 +249,12 @@ degrades first when the box is busy):
 
 {history}
 
-(Runs with a non-canonical `--rows` — quick drives / debugging — do not
-update this file: at small sizes per-job fixed costs dominate and the
-efficiency number is not comparable.)
+(Rows not marked "pinned" predate the taskset core budget: their N level
+silently borrowed idle machine cores for its Python UDF workers, inflating
+the denominator — that is why two quiet-box unpinned runs read 0.75-0.77
+while the same code pinned reads ~0.9.  Runs with a non-canonical `--rows`
+— quick drives / debugging — do not update this file: at small sizes
+per-job fixed costs dominate and the efficiency number is not comparable.)
 
 Why it scales: the `bytes` column never enters a shuffle — the dedup index
 is reduced map-side (partial hash-aggregate over (phash, image_id) only) and

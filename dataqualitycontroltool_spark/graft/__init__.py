@@ -16,6 +16,9 @@ The reference tool's profiling-and-validation logic
 * :mod:`rules`       — keep/drop heuristic rule engine (pure Catalyst).
 * :mod:`pipeline`    — full pipeline assembly + lineage metrics + salting.
 * :mod:`checkpoint`  — per-partition checkpoint/resume orchestrator.
+* :mod:`buckets`     — SDXL-style aspect-ratio bucketing + batch assembly.
+* :mod:`alignment`   — CLIP-score-style caption-image alignment filter
+                       (feature-hashed caption embedding, pure Catalyst).
 * :mod:`reference_impl` — independent pandas implementation used as the
                        keep/drop F1 + scrubbed-caption-equality oracle.
 """

@@ -464,3 +464,69 @@ def bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding quality signal: cosine of every vector to its GROUP
+    centroid, flagging off-topic rows (``is_outlier`` when the round-6
+    cosine falls below ``threshold``).  The per-cluster analogue of
+    CLIP-score percentile filtering — SemDeDup prunes near-duplicates
+    inside a cluster; this prunes the rows that don't belong to it.
+
+    Scale shape (10^12 rows): centroids come from ``posexplode`` →
+    ``groupBy(group, pos).avg`` — the partial aggregation reduces each
+    task's n·dim exploded rows to (groups × dim) before the one exchange —
+    then re-assemble per group via a bounded ``collect_list`` (exactly
+    ``dim`` structs per group).  The join back is a plain equi-join on the
+    group key: the centroid side has one row per group, so AQE broadcasts
+    it when genuinely small — no forced hint (group cardinality is
+    caller-controlled, not provably bounded).  The cosine itself is
+    map-side Catalyst fold work.
+
+    Determinism: centroid components are rounded to 9 decimals (partial
+    sums in any order agree at that precision), the dot and norm products
+    to 9 before the divide, the score to 6 — the package-wide cross-engine
+    replay contract.  Rows with a NULL group or NULL vector are excluded
+    (they contribute to no centroid and get no score).
+    """
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cent = (
+        base.select(group_col, F.posexplode("_v").alias("_p", "_x"))
+        .groupBy(group_col, "_p")
+        .agg(F.round(F.avg("_x"), 9).alias("_m"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_c")
+        )
+    )
+    num = F.round(dot(F.col("_v"), F.col("_c")), 9)
+    den = F.round(
+        F.sqrt(dot(F.col("_v"), F.col("_v")))
+        * F.sqrt(dot(F.col("_c"), F.col("_c"))),
+        9,
+    )
+    cos = F.when(den > 0, F.round(num / den, 6))
+    return (
+        base.join(cent, group_col)
+        .select(
+            id_col,
+            group_col,
+            cos.alias("cos_centroid"),
+            F.coalesce(cos < threshold, F.lit(True)).alias("is_outlier"),
+        )
+    )
