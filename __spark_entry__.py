@@ -1218,9 +1218,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text FROM documents WHERE text IS NOT NULL
             ),
             tok AS (
+              -- blank/whitespace-only captions yield NO tokens (split('')
+              -- would fabricate one phantom empty token whose one-hot
+              -- vector could score a real alignment); they surface below
+              -- with NULL alignment / keep = FALSE, like the Spark side
               SELECT doc_id,
                      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
-              FROM d
+              FROM d WHERE regexp_matches(text, '\S')
             ),
             h AS (SELECT doc_id, md5('s1:' || tk) AS m FROM tok),
             f AS (
@@ -1250,12 +1254,16 @@ def oracle_sql() -> dict[str, str]:
               FROM s JOIN e ON e.vec_id = s.doc_id
               GROUP BY s.doc_id
             )
-            SELECT doc_id,
-                   CASE WHEN den > 0 THEN round(num / den, 6) END AS alignment,
+            SELECT d.doc_id,
+                   CASE WHEN agg.den > 0 THEN round(agg.num / agg.den, 6) END
+                     AS alignment,
                    coalesce(
-                     CASE WHEN den > 0 THEN round(num / den, 6) END >= 0.0,
+                     CASE WHEN agg.den > 0
+                          THEN round(agg.num / agg.den, 6) END >= 0.0,
                      FALSE) AS keep
-            FROM agg
+            FROM d
+            JOIN e ON e.vec_id = d.doc_id
+            LEFT JOIN agg ON agg.doc_id = d.doc_id
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SH_CTE},

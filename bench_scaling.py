@@ -140,14 +140,17 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=96000)
     args = ap.parse_args()
 
+    # external-contention evidence: sample load BEFORE we spawn anything —
+    # including the 32-core generate() job below, whose just-exited run
+    # would otherwise dominate the 1-min average and mislabel every
+    # fresh-dataset run as contended
+    load_pre = os.getloadavg()[0]
+
     marker = Path(DATA) / f"_ROWS_{args.rows}_64-192"
     if not marker.exists():
         generate(args.rows)
         marker.touch()
 
-    # external-contention evidence: sample load BEFORE we spawn anything —
-    # the at-finish loadavg is dominated by our own just-exited run
-    load_pre = os.getloadavg()[0]
     r8, r32 = run_paired()
     eff = r32["images_per_sec"] / (4 * r8["images_per_sec"])
     result = {
@@ -180,6 +183,17 @@ def main() -> None:
     hist_begin, hist_end = "<!-- scaling-history -->", "<!-- /scaling-history -->"
     hist_rows: list[str] = []
     if baseline.exists():
+        if hist_begin not in baseline.read_text():
+            # the append contract must fail LOUDLY: a hand-edited or
+            # pre-marker file would otherwise be silently replaced, erasing
+            # the cross-session variance record
+            print(json.dumps({
+                "warning": "BENCH/BASELINE.md exists without scaling-history "
+                           "markers; refusing to rewrite — merge this run in "
+                           "by hand",
+                "result": result,
+            }))
+            return
         in_hist = False
         for line in baseline.read_text().splitlines():
             if line.strip() == hist_begin:

@@ -41,7 +41,10 @@ def caption_embedding(
 
     Slot ``conv(md5(seed:token)[0:2], 16, 10) % dim`` (dim <= 256), sign
     ``±1`` from hex digit 3's low bit; repeated tokens accumulate.  NULL
-    text yields NULL.  Pure Catalyst — the md5 is let-bound so it runs once
+    and blank (empty / whitespace-only) text yield NULL — ``split('')``
+    would otherwise produce one phantom empty-string token whose one-hot
+    vector could score a real alignment and let an empty caption pass the
+    quality filter.  Pure Catalyst — the md5 is let-bound so it runs once
     per token, not once per (slot, sign) reference.
     """
     if not 1 <= dim <= 256:
@@ -74,7 +77,12 @@ def caption_embedding(
             ),
         )
 
-    return F.when(text.isNotNull(), let(F.transform(toks, slot_sign), fold))
+    # rlike, not trim() == '': Spark's trim strips only U+0020, so a
+    # tab/newline-only caption would still fabricate the phantom token
+    return F.when(
+        text.isNotNull() & text.rlike(r"\S"),
+        let(F.transform(toks, slot_sign), fold),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

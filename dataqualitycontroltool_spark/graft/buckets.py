@@ -11,8 +11,10 @@ over the resulting structs), so it runs inside whole-stage codegen with no
 shuffle, no UDF and no per-row Python.
 
 Batch assembly reuses the deterministic shuffle-and-shard machinery
-(operators/export.py): ``shard`` by bucket instead of hash prefix and the
-in-bucket position IS the batch index — no new exchange shape.
+(operators/export.py): the sort key is the same md5 permutation, but the
+partition key is (bucket, hash-shard) — two-level, because the bucket list
+is tiny and bucket-only partitioning would sort each bucket's entire row
+set in one task.  The in-stream position IS the batch index.
 """
 
 from __future__ import annotations
@@ -139,30 +141,63 @@ def bucket_batches(
     batch_size: int,
     id_col: str = "image_id",
     seed: str = "42",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Deterministic batch assembly within buckets: rows are ordered by the
     engine-replayable md5 permutation (same contract as
-    operators/export.shard_table), positioned per bucket, and
-    ``batch_id = (pos-1) // batch_size``.  One exchange on the bucket key +
-    one per-bucket sort; the trailing partial batch of each bucket is
-    flagged ``is_partial`` so the loader can drop or pad it explicitly."""
+    operators/export.shard_table), positioned per (bucket, shard), and
+    ``batch_id = (pos-1) // batch_size``.  The trailing partial batch of
+    each stream is flagged ``is_partial`` so the loader can drop or pad it
+    explicitly.
+
+    Two-level partitioning defuses the bucket-skew bottleneck: the bucket
+    list is tiny (~25), so partitioning the sort by bucket alone would
+    funnel each bucket's ENTIRE row set — ~4·10^10 rows per bucket at the
+    module's design scale — through one task.  ``n_shards`` splits every
+    bucket into deterministic hash sub-streams (hash-prefix mod, the
+    :func:`operators.export.shard_table` recipe); ``pos``/``batch_id`` are
+    (bucket, shard)-local, every batch still has one tensor shape, and each
+    data-loader rank consumes its own (bucket, shard) stream — the standard
+    multi-rank loader contract.  Size ``n_shards`` so one stream's rows fit
+    a task's sort-spill budget (the default 1 preserves a single global
+    stream per bucket for small corpora).
+
+    Rows with a NULL bucket (invalid dims) get NULL ``pos``/``batch_id``/
+    ``is_partial``: the caller's validity rules own the drop decision, and
+    batch assembly must not resurrect invalid rows into training batches.
+    """
     from pyspark.sql import Window
 
     from dataqualitycontroltool_spark.operators.export import _shuffle_key
 
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    w = Window.partitionBy("bucket_w", "bucket_h").orderBy("_h", id_col)
-    n = Window.partitionBy("bucket_w", "bucket_h")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _shuffle_key(id_col, seed)
+    shard = F.pmod(
+        F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    keys = ["bucket_w", "bucket_h", "shard"]
+    w = Window.partitionBy(*keys).orderBy("_h", id_col)
+    n = Window.partitionBy(*keys)
+    valid = F.col("bucket_w").isNotNull() & F.col("bucket_h").isNotNull()
+    batch_of = lambda p: F.floor((p - 1) / F.lit(batch_size))  # noqa: E731
     return (
-        df.withColumn("_h", _shuffle_key(id_col, seed))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("_pos", F.row_number().over(w).cast("bigint"))
         .withColumn("_n", F.count(F.lit(1)).over(n))
-        .withColumn("batch_id", F.floor((F.col("pos") - 1) / F.lit(batch_size)))
+        .withColumn("pos", F.when(valid, F.col("_pos")))
+        .withColumn("batch_id", F.when(valid, batch_of(F.col("_pos"))))
         .withColumn(
             "is_partial",
-            (F.col("batch_id") == F.floor((F.col("_n") - 1) / F.lit(batch_size)))
-            & (F.pmod(F.col("_n"), F.lit(batch_size)) != 0),
+            F.when(
+                valid,
+                (batch_of(F.col("_pos")) == batch_of(F.col("_n")))
+                & (F.pmod(F.col("_n"), F.lit(batch_size)) != 0),
+            ),
         )
-        .drop("_h", "_n")
+        .drop("_h", "_n", "_pos")
     )

@@ -105,18 +105,23 @@ def select_representatives(
     (longest / highest-quality), drop the rest.
 
     Scale shape: ONE aggregate around a single exchange, no window.  The
-    election is ``min(struct(-score, id, score))`` — struct ordering
-    compares ``-score`` first (min of the negation == max score), then
-    ``id`` (unique, so the trailing payload field never participates).
+    election is ``min(struct(is_null, inverted_score, id, score))`` —
+    struct ordering compares the null flag first (``false < true``, so ANY
+    scored member beats every unscored one, including a genuine ``-inf``
+    score), then the losslessly inverted score (min of the inversion ==
+    max score), then ``id`` (unique, so the trailing payload field never
+    participates).  The inversion is TYPE-EXACT: integral scores use
+    bitwise NOT (``~x = -x-1``, a monotone-decreasing bijection with no
+    overflow at ``Long.MIN_VALUE`` and no 2^53 double-precision collapse),
+    fractional/decimal scores use sign flip (exact for both).
     The planner picks SortAggregate (a struct min has no mutable hash
     buffer), but the map-side PARTIAL aggregation still fires: each task
     sorts only its own partition on the group key and emits one candidate
     row per distinct group, so a million-member duplicate cluster crosses
     the wire as one (group, candidate) pair per task — never a global
     window sort over the corpus.
-    A NULL score coalesces to +inf in the negated key, so an unscored
-    member loses to any scored one (and wins only in all-NULL groups,
-    where ``rep_score`` is honestly NULL).
+    An all-NULL-score group elects its min id with an honestly-NULL
+    ``rep_score``.
 
     ``group_cols`` may be one column name or a list (composite cluster
     keys — e.g. (user_id, day) event clusters — group exactly like a
@@ -125,11 +130,23 @@ def select_representatives(
     """
     if isinstance(group_cols, str):
         group_cols = [group_cols]
-    s = F.col(score_col).cast("double")
+    s = F.col(score_col)
+    dt = df.schema[score_col].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        inv = F.bitwise_not(s.cast("bigint"))
+    elif dt in ("float", "double") or dt.startswith("decimal"):
+        inv = -s
+    else:
+        raise TypeError(
+            f"score column {score_col!r} must be numeric, got {dt}"
+        )
     key = F.struct(
-        F.coalesce(-s, F.lit(float("inf"))).alias("neg"),
+        # the flag decides scored-vs-unscored, so the NULL filler value in
+        # the inverted slot never participates in an election
+        s.isNull().alias("unscored"),
+        F.coalesce(inv, F.lit(0)).alias("inv"),
         F.col(id_col).alias("i"),
-        F.col(score_col).alias("orig"),
+        s.alias("orig"),
     )
     return (
         df.groupBy(*group_cols)

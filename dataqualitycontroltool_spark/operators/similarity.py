@@ -28,7 +28,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from dataqualitycontroltool_spark.operators.dedup import dot
+from dataqualitycontroltool_spark.operators.dedup import dot, let
 
 
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -483,11 +483,17 @@ def centroid_outliers(
     ``groupBy(group, pos).avg`` — the partial aggregation reduces each
     task's n·dim exploded rows to (groups × dim) before the one exchange —
     then re-assemble per group via a bounded ``collect_list`` (exactly
-    ``dim`` structs per group).  The join back is a plain equi-join on the
-    group key: the centroid side has one row per group, so AQE broadcasts
-    it when genuinely small — no forced hint (group cardinality is
-    caller-controlled, not provably bounded).  The cosine itself is
-    map-side Catalyst fold work.
+    ``dim`` structs per group).  The centroid's self-norm is computed ONCE
+    per group on that one-row-per-group side (not re-folded per corpus
+    row), and the per-row cosine is let-bound so its fold runs once per
+    row, not once per output column.  The join back is a plain equi-join
+    on the group key: the centroid side has one row per group, so AQE
+    broadcasts it when genuinely small — no forced hint (group cardinality
+    is caller-controlled, not provably bounded).  The remaining per-row
+    work (dot with the centroid + the row's own norm) is map-side Catalyst
+    fold work.  ``alignment.cosine`` is deliberately NOT reused here: its
+    contract recomputes both norms inside the expression, which would put
+    the group-constant centroid fold back into the per-row projection.
 
     Determinism: centroid components are rounded to 9 decimals (partial
     sums in any order agree at that precision), the dot and norm products
@@ -513,20 +519,41 @@ def centroid_outliers(
                 lambda s: s["_m"],
             ).alias("_c")
         )
+        # UNrounded so den below equals round(|v|·|c|, 9) exactly — the
+        # aggregate boundary makes _c an attribute, so the two dot()
+        # references cannot re-inline the collect_list expression
+        .withColumn("_cn", F.sqrt(dot(F.col("_c"), F.col("_c"))))
     )
-    num = F.round(dot(F.col("_v"), F.col("_c")), 9)
-    den = F.round(
-        F.sqrt(dot(F.col("_v"), F.col("_v")))
-        * F.sqrt(dot(F.col("_c"), F.col("_c"))),
-        9,
+
+    def score(v: Column) -> Column:
+        nd = F.struct(
+            F.round(dot(v, F.col("_c")), 9).alias("n"),
+            F.round(F.sqrt(dot(v, v)) * F.col("_cn"), 9).alias("d"),
+        )
+        return let(
+            nd, lambda x: F.when(x["d"] > 0, F.round(x["n"] / x["d"], 6))
+        )
+
+    # let-bind the row vector (its cast-transform has 3 reference sites)
+    # AND the cosine itself (2 output columns) — CollapseProject would
+    # otherwise duplicate the full fold per reference
+    pair = let(
+        F.col("_v"),
+        lambda v: let(
+            score(v),
+            lambda c: F.struct(
+                c.alias("cos"),
+                F.coalesce(c < threshold, F.lit(True)).alias("out"),
+            ),
+        ),
     )
-    cos = F.when(den > 0, F.round(num / den, 6))
     return (
         base.join(cent, group_col)
+        .select(id_col, group_col, pair.alias("_s"))
         .select(
             id_col,
             group_col,
-            cos.alias("cos_centroid"),
-            F.coalesce(cos < threshold, F.lit(True)).alias("is_outlier"),
+            F.col("_s.cos").alias("cos_centroid"),
+            F.col("_s.out").alias("is_outlier"),
         )
     )

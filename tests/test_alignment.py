@@ -40,10 +40,13 @@ def test_caption_embedding_matches_hashlib(spark):
 
 
 def test_caption_embedding_null_and_dim_validation(spark):
-    df = spark.createDataFrame([(1, None)], "i long, text string")
-    assert df.select(
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  \t ")], "i long, text string"
+    )
+    got = df.select(
         alignment.caption_embedding(F.col("text")).alias("v")
-    ).collect()[0].v is None
+    ).collect()
+    assert all(r.v is None for r in got)  # NULL and blank both unscorable
     with pytest.raises(ValueError):
         alignment.caption_embedding(F.col("text"), dim=0)
     with pytest.raises(ValueError):
@@ -66,11 +69,15 @@ def test_alignment_score_matches_numpy(spark):
 
 
 def test_alignment_filter_null_policy(spark):
-    # NULL caption and zero-norm image vector are drops, not NULL keeps
+    # NULL caption, BLANK caption (split('') would fabricate one phantom
+    # empty token that scores a real alignment) and zero-norm image vector
+    # are all drops, not NULL keeps
     rows = [
         (1, "hello world", [1.0] * 64),
         (2, None, [1.0] * 64),
         (3, "hello world", [0.0] * 64),
+        (4, "", [1.0] * 64),
+        (5, "   \t ", [1.0] * 64),
     ]
     df = spark.createDataFrame(rows, "i long, caption string, image_vec array<double>")
     out = {r.i: (r.alignment, r.keep)
@@ -78,6 +85,8 @@ def test_alignment_filter_null_policy(spark):
     assert out[1][1] is True          # any finite score >= -1
     assert out[2] == (None, False)
     assert out[3] == (None, False)
+    assert out[4] == (None, False)
+    assert out[5] == (None, False)
 
 
 def test_alignment_plan_is_pure_projection(spark):

@@ -116,3 +116,49 @@ def test_bucket_batches_validates_size(spark):
     df = spark.createDataFrame([(1, 512, 512)], "image_id long, w int, h int")
     with pytest.raises(ValueError):
         buckets.bucket_batches(buckets.assign_aspect_buckets(df), batch_size=0)
+    with pytest.raises(ValueError):
+        buckets.bucket_batches(
+            buckets.assign_aspect_buckets(df), batch_size=4, n_shards=0
+        )
+
+
+def test_bucket_batches_sharded_and_null_buckets(spark):
+    # n_shards splits each bucket into deterministic sub-streams: positions
+    # are contiguous per (bucket, shard), batches never mix buckets, and the
+    # whole assignment replays identically.  NULL-bucket rows (invalid dims)
+    # must NOT be batched.
+    bs = [(512, 512), (1024, 512)]
+    rows = [(i, 512, 512) for i in range(40)] + [
+        (100 + i, 1024, 512) for i in range(11)
+    ] + [(200, None, 512), (201, 512, 0)]
+    df = buckets.assign_aspect_buckets(
+        spark.createDataFrame(rows, "image_id long, w int, h int"), buckets=bs
+    )
+    out = buckets.bucket_batches(df, batch_size=4, n_shards=3).collect()
+    assert sorted(
+        (r.image_id, r.shard, r.batch_id, r.pos) for r in out
+    ) == sorted(
+        (r.image_id, r.shard, r.batch_id, r.pos)
+        for r in buckets.bucket_batches(df, batch_size=4, n_shards=3).collect()
+    )
+    for r in out:
+        if r.image_id in (200, 201):
+            assert r.pos is None and r.batch_id is None and r.is_partial is None
+    streams = {}
+    for r in out:
+        if r.pos is not None:
+            streams.setdefault((r.bucket_w, r.bucket_h, r.shard), []).append(r)
+    assert len({s for _, _, s in streams}) > 1  # the split actually happened
+    for key, members in streams.items():
+        assert sorted(r.pos for r in members) == list(
+            range(1, len(members) + 1)
+        ), key
+        by_batch = {}
+        for r in members:
+            by_batch.setdefault(r.batch_id, []).append(r)
+        n_full, tail = divmod(len(members), 4)
+        for b, brs in by_batch.items():
+            if b < n_full:
+                assert len(brs) == 4 and not any(r.is_partial for r in brs)
+            else:
+                assert len(brs) == tail and all(r.is_partial for r in brs)

@@ -303,6 +303,33 @@ def test_select_representatives(spark):
     assert rep.rep_id == "a"
 
 
+def test_select_representatives_type_exact(spark):
+    # the election must not collapse bigint scores through a double cast:
+    # 2**53 and 2**53 + 1 are the same float64, but the higher one must win
+    from dataqualitycontroltool_spark.operators import corpus
+
+    big = spark.createDataFrame(
+        [("g", 1, 2**53 + 1), ("g", 2, 2**53),
+         ("h", 3, -(2**63)), ("h", 4, -(2**63) + 1)],  # Long.MIN negation trap
+        "g string, id long, score long",
+    )
+    out = {r.g: (r.rep_id, r.rep_score)
+           for r in corpus.select_representatives(big, "id", "g", "score").collect()}
+    assert out["g"] == (1, 2**53 + 1)
+    assert out["h"] == (4, -(2**63) + 1)
+    # a genuinely scored -inf member beats any NULL-scored member
+    inf = spark.createDataFrame(
+        [("g", 1, None), ("g", 2, float("-inf"))],
+        "g string, id long, score double",
+    )
+    rep = corpus.select_representatives(inf, "id", "g", "score").collect()[0]
+    assert rep.rep_id == 2 and rep.rep_score == float("-inf")
+    # non-numeric scores are rejected up front, not silently mis-ordered
+    sdf = spark.createDataFrame([("g", 1, "x")], "g string, id long, score string")
+    with pytest.raises(TypeError):
+        corpus.select_representatives(sdf, "id", "g", "score")
+
+
 def test_select_representatives_plan_shape(spark):
     # scale contract: ONE aggregate (map-side partial + final around a
     # single exchange), never a window sort over the corpus
