@@ -595,6 +595,44 @@ def q_caption_alignment_docs(spark, sf_dir):
     return out.select("doc_id", "alignment", "keep")
 
 
+def q_rebalance_documents_lang(spark, sf_dir):
+    """MetaCLIP-style per-class rebalancing: at most 60 documents per lang,
+    chosen by the engine-replayable md5 permutation via the two-phase
+    distributed top-k (operators/corpus.py:cap_per_group) — shard-local
+    rank then a bounded global re-rank, never a whole-language
+    single-task window sort."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    capped = corpus.cap_per_group(docs, "doc_id", ["lang"], k=60)
+    return capped.select(
+        "doc_id", "lang", F.col("cap_rank").cast("bigint").alias("cap_rank")
+    )
+
+
+def q_alignment_percentile_docs(spark, sf_dir):
+    """DataComp-style percentile filtering: caption-image alignment scores
+    thresholded at the corpus's own exact 30th percentile (keep top 70%) —
+    the cutoff comes from distributed histogram rank-selection
+    (operators/quantiles.py), never a single-reducer percentile buffer
+    (operators/corpus.py:percentile_keep)."""
+    from dataqualitycontroltool_spark.graft import alignment
+    from dataqualitycontroltool_spark.operators import corpus
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = docs.join(emb, docs.doc_id == emb.vec_id)
+    scored = alignment.alignment_scores(
+        pairs, caption_col="text", image_vec_col="embedding"
+    )
+    out = corpus.percentile_keep(scored, "alignment", keep_frac=0.7)
+    return out.select("doc_id", "alignment", "keep_topp")
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -832,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets_part": q_aspect_buckets_part,
         "embedding_centroid_outliers": q_embedding_centroid_outliers,
         "caption_alignment_docs": q_caption_alignment_docs,
+        "rebalance_documents_lang": q_rebalance_documents_lang,
+        "alignment_percentile_docs": q_alignment_percentile_docs,
         "windowed_validation_events": q_windowed_validation_events,
         "connected_components_docs": q_connected_components_docs,
         "sessionize_batch_events": q_sessionize_batch_events,
@@ -955,6 +995,56 @@ sh2 AS (
 """
 
 # embeddings cast to double + norms, for cosine math identical to Spark's
+# caption-side feature hashing + per-doc alignment num/den — shared by the
+# threshold filter (caption_alignment_docs) and the percentile filter
+# (alignment_percentile_docs)
+_ALIGN_CTE = r"""
+d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  -- blank/whitespace-only captions yield NO tokens (split('') would
+  -- fabricate one phantom empty token whose one-hot vector could score a
+  -- real alignment); they surface below with NULL alignment, like Spark
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+  FROM d WHERE regexp_matches(text, '\S')
+),
+h AS (SELECT doc_id, md5('s1:' || tk) AS m FROM tok),
+f AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 64 AS idx,
+         ((strpos('0123456789abcdef', substr(m, 3, 1)) - 1) % 2) * 2 - 1 AS sgn
+  FROM h
+),
+s AS (
+  SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS w
+  FROM f GROUP BY 1, 2
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+agg AS (
+  SELECT s.doc_id,
+         round(sum(s.w * e.v[s.idx + 1]), 9) AS num,
+         round(sqrt(CAST(sum(s.w * s.w) AS DOUBLE))
+               * sqrt(any_value(list_dot_product(e.v, e.v))), 9) AS den
+  FROM s JOIN e ON e.vec_id = s.doc_id
+  GROUP BY s.doc_id
+),
+aligned AS (
+  SELECT d.doc_id,
+         CASE WHEN agg.den > 0 THEN round(agg.num / agg.den, 6) END
+           AS alignment
+  FROM d
+  JOIN e ON e.vec_id = d.doc_id
+  LEFT JOIN agg ON agg.doc_id = d.doc_id
+)
+"""
+
 _EMB_CTE = """
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
@@ -1213,57 +1303,31 @@ def oracle_sql() -> dict[str, str]:
                             TRUE) AS is_outlier
             FROM s
         """,
-        "caption_alignment_docs": r"""
-            WITH d AS (
-              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
-            ),
-            tok AS (
-              -- blank/whitespace-only captions yield NO tokens (split('')
-              -- would fabricate one phantom empty token whose one-hot
-              -- vector could score a real alignment); they surface below
-              -- with NULL alignment / keep = FALSE, like the Spark side
-              SELECT doc_id,
-                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
-              FROM d WHERE regexp_matches(text, '\S')
-            ),
-            h AS (SELECT doc_id, md5('s1:' || tk) AS m FROM tok),
-            f AS (
-              SELECT doc_id,
-                     ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
-                      + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1)) % 64
-                       AS idx,
-                     ((strpos('0123456789abcdef', substr(m, 3, 1)) - 1) % 2) * 2
-                       - 1 AS sgn
-              FROM h
-            ),
-            s AS (
-              SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS w
-              FROM f GROUP BY 1, 2
-            ),
-            e AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings
-            ),
-            agg AS (
-              SELECT s.doc_id,
-                     round(sum(s.w * e.v[s.idx + 1]), 9) AS num,
-                     round(sqrt(CAST(sum(s.w * s.w) AS DOUBLE))
-                           * sqrt(any_value(list_dot_product(e.v, e.v))), 9)
-                       AS den
-              FROM s JOIN e ON e.vec_id = s.doc_id
-              GROUP BY s.doc_id
+        "caption_alignment_docs": f"""
+            WITH {_ALIGN_CTE}
+            SELECT doc_id, alignment,
+                   coalesce(alignment >= 0.0, FALSE) AS keep
+            FROM aligned
+        """,
+        "rebalance_documents_lang": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'),
+                                  doc_id) AS rk
+              FROM documents
             )
-            SELECT d.doc_id,
-                   CASE WHEN agg.den > 0 THEN round(agg.num / agg.den, 6) END
-                     AS alignment,
-                   coalesce(
-                     CASE WHEN agg.den > 0
-                          THEN round(agg.num / agg.den, 6) END >= 0.0,
-                     FALSE) AS keep
-            FROM d
-            JOIN e ON e.vec_id = d.doc_id
-            LEFT JOIN agg ON agg.doc_id = d.doc_id
+            SELECT doc_id, lang, CAST(rk AS BIGINT) AS cap_rank
+            FROM r WHERE rk <= 60
+        """,
+        "alignment_percentile_docs": f"""
+            WITH {_ALIGN_CTE},
+            thr AS (
+              SELECT round(quantile_cont(alignment, 0.3), 9) AS t FROM aligned
+            )
+            SELECT a.doc_id, a.alignment,
+                   coalesce(a.alignment >= thr.t, FALSE) AS keep_topp
+            FROM aligned a CROSS JOIN thr
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SH_CTE},

@@ -160,6 +160,101 @@ def select_representatives(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_cols,
+    k: int,
+    seed: str = "42",
+    n_shards: int = 64,
+) -> DataFrame:
+    """MetaCLIP-style balancing: keep at most ``k`` rows per group, chosen
+    by the engine-replayable md5 permutation (``md5(id|seed)``, ties → id) —
+    the deterministic stand-in for "uniformly sample k per class".  Web
+    corpora are grossly group-skewed (English is ~half the crawl; a hot
+    phash bucket can hold 10^8 members); capping per group is the standard
+    rebalancing move before training.
+
+    Scale shape — the naive ``row_number over (partition by group)`` sorts
+    a whole group in ONE task (10^11 rows for `en` at the design scale), so
+    the selection runs in two bounded phases, the classic distributed
+    top-k:
+
+    1. rank within (group, hash-shard) and keep each shard-stream's k
+       smallest — one exchange whose partition count is |groups|·n_shards;
+    2. rank the ≤ n_shards·k survivors per group and keep the global k —
+       a second exchange over at most |groups|·n_shards·k rows.
+
+    Phase 1 cannot lose a winner: a row in the global top-k has global
+    rank <= k, hence shard-local rank <= k.  A NULL group is a group of
+    its own (unknown class is still a class — the caller's validity rules
+    decide whether it enters at all).  Adds ``cap_rank`` (1..k, the
+    group-global permutation rank); re-runs are byte-stable.
+    """
+    from pyspark.sql import Window
+
+    from dataqualitycontroltool_spark.operators.export import _shuffle_key
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.pmod(
+        F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    w1 = Window.partitionBy(*group_cols, "_shard").orderBy("_h", id_col)
+    w2 = Window.partitionBy(*group_cols).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", _shuffle_key(id_col, seed))
+        .withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("cap_rank", F.row_number().over(w2))
+        .where(F.col("cap_rank") <= k)
+        .drop("_h", "_shard", "_r1")
+    )
+
+
+def percentile_keep(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    out_col: str = "keep_topp",
+) -> DataFrame:
+    """DataComp-style percentile filtering: keep the top ``keep_frac``
+    fraction of rows by score (e.g. CLIP-score top-30%), the published
+    alternative to an absolute threshold — the cutoff adapts to the score
+    distribution of THIS corpus instead of being hand-tuned per crawl.
+
+    The cutoff is the exact ``1 - keep_frac`` quantile of the score column
+    via :func:`operators.quantiles.exact_quantiles` — distributed histogram
+    rank-selection, so no single reducer ever buffers the 10^12-row score
+    column — rounded to 9 decimals (the package's cross-engine replay
+    contract) and applied as ``score >= cutoff``.  Ties AT the cutoff are
+    all kept (deterministic; the kept fraction can exceed ``keep_frac`` by
+    the tie mass).  NULL scores drop — the treat-unscorable-as-invalid
+    policy.  Adds boolean ``out_col``; rows are not removed (the curation
+    gate owns removal).
+    """
+    from dataqualitycontroltool_spark.operators.quantiles import exact_quantiles
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    thr = exact_quantiles(df, score_col, [1.0 - keep_frac])[0]
+    if thr is None:  # no non-NULL scores at all
+        return df.withColumn(out_col, F.lit(False))
+    return df.withColumn(
+        out_col,
+        F.coalesce(
+            F.col(score_col).cast("double") >= F.lit(round(thr, 9)),
+            F.lit(False),
+        ),
+    )
+
+
 def curation_lineage(curated: DataFrame) -> DataFrame:
     """Corpus-level lineage row: totals per drop reason + kept count."""
     return (

@@ -330,6 +330,73 @@ def test_select_representatives_type_exact(spark):
         corpus.select_representatives(sdf, "id", "g", "score")
 
 
+def test_cap_per_group(spark):
+    # MetaCLIP-style balancing: two-phase distributed top-k must equal the
+    # single-window reference (row_number over md5 order), be byte-stable,
+    # and treat a NULL group as a group of its own
+    import hashlib
+
+    from dataqualitycontroltool_spark.operators import corpus
+
+    rows = [(i, "en") for i in range(200)] + \
+           [(1000 + i, "fr") for i in range(3)] + \
+           [(2000 + i, None) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.cap_per_group(df, "doc_id", "lang", k=5, n_shards=4)
+    canon = lambda rs: sorted((str(r.lang), r.cap_rank, r.doc_id) for r in rs)  # noqa: E731
+    assert canon(out.collect()) == canon(out.collect())
+
+    def ref(members, k=5):
+        order = sorted(
+            members,
+            key=lambda i: (hashlib.md5(f"{i}|42".encode()).hexdigest(), i),
+        )
+        return {(i, rk + 1) for rk, i in enumerate(order[:k])}
+
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, set()).add((r.doc_id, r.cap_rank))
+    assert by_lang["en"] == ref(range(200))
+    assert by_lang["fr"] == ref([1000, 1001, 1002])       # under-full group
+    assert by_lang[None] == ref([2000 + i for i in range(8)])
+    with pytest.raises(ValueError):
+        corpus.cap_per_group(df, "doc_id", "lang", k=0)
+    with pytest.raises(ValueError):
+        corpus.cap_per_group(df, "doc_id", "lang", k=5, n_shards=0)
+
+
+def test_percentile_keep(spark):
+    # DataComp-style top-p%: exact quantile cutoff, ties at the cutoff all
+    # kept, NULL scores dropped, all-NULL column keeps nothing
+    from dataqualitycontroltool_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)],
+        "id long, score double",
+    )
+    out = {r.id: r.keep_topp
+           for r in corpus.percentile_keep(df, "score", 0.25).collect()}
+    # 0.75-quantile of 1..100 = 75.25 -> keep 76..100
+    assert sum(out.values()) == 25
+    assert out[76] and out[100] and not out[75] and not out[999]
+    # tie mass at the cutoff is kept in full
+    tie = spark.createDataFrame(
+        [(i, 1.0 if i < 8 else 2.0) for i in range(10)], "id long, score double"
+    )
+    tout = {r.id: r.keep_topp
+            for r in corpus.percentile_keep(tie, "score", 0.2).collect()}
+    assert sum(tout.values()) == 2  # exactly the two 2.0-scored rows
+    # keep_frac=0.3 -> cutoff lands ON the 1.0 tie plateau -> all ties kept
+    tout3 = {r.id: r.keep_topp
+             for r in corpus.percentile_keep(tie, "score", 0.3).collect()}
+    assert sum(tout3.values()) == 10
+    allnull = spark.createDataFrame([(1, None)], "id long, score double")
+    assert corpus.percentile_keep(allnull, "score", 0.5).collect()[0] \
+        .keep_topp is False
+    with pytest.raises(ValueError):
+        corpus.percentile_keep(df, "score", 0.0)
+
+
 def test_select_representatives_plan_shape(spark):
     # scale contract: ONE aggregate (map-side partial + final around a
     # single exchange), never a window sort over the corpus
