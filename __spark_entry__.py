@@ -633,6 +633,25 @@ def q_alignment_percentile_docs(spark, sf_dir):
     return out.select("doc_id", "alignment", "keep_topp")
 
 
+def q_perplexity_gate_docs(spark, sf_dir):
+    """CCNet-style perplexity gate with a CORPUS-TRAINED model: a token-
+    bigram LM is trained distributedly on the trusted (lang='en') slice —
+    model-as-a-table, no driver counts — and every document scores its
+    add-one-smoothed perplexity against it as pure Catalyst joins
+    (operators/ngram_lm.py); no UDF anywhere."""
+    from dataqualitycontroltool_spark.operators import ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm.train_bigram_lm(
+        docs.where(F.col("lang") == "en"), "text", "doc_id"
+    )
+    return ngram_lm.score_perplexity(docs, lm, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "ppl",
+    )
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -871,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_outliers": q_embedding_centroid_outliers,
         "caption_alignment_docs": q_caption_alignment_docs,
         "rebalance_documents_lang": q_rebalance_documents_lang,
+        "perplexity_gate_docs": q_perplexity_gate_docs,
         "alignment_percentile_docs": q_alignment_percentile_docs,
         "windowed_validation_events": q_windowed_validation_events,
         "connected_components_docs": q_connected_components_docs,
@@ -1319,6 +1339,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, CAST(rk AS BIGINT) AS cap_rank
             FROM r WHERE rk <= 60
+        """,
+        "perplexity_gate_docs": r"""
+            WITH corp AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+            ),
+            bgx AS (
+              SELECT doc_id, lang, toks,
+                     unnest(toks) AS token,
+                     generate_subscripts(toks, 1) AS i
+              FROM corp
+            ),
+            bg AS (
+              SELECT doc_id, lang,
+                     CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS context,
+                     token
+              FROM bgx
+            ),
+            lm AS (
+              SELECT context, token, count(*) AS n
+              FROM bg WHERE lang = 'en' GROUP BY 1, 2
+            ),
+            ctx AS (SELECT context, sum(n) AS n_ctx FROM lm GROUP BY 1),
+            v AS (SELECT count(DISTINCT token) AS v FROM lm),
+            lp AS (
+              SELECT bg.doc_id,
+                     round(CASE WHEN ctx.n_ctx IS NOT NULL
+                           THEN ln((coalesce(lm.n, 0) + 1)
+                                   / CAST(ctx.n_ctx + v.v AS DOUBLE))
+                           ELSE -ln(CAST(v.v AS DOUBLE)) END, 9) AS lp
+              FROM bg
+              LEFT JOIN lm USING (context, token)
+              LEFT JOIN ctx USING (context)
+              CROSS JOIN v
+            ),
+            sc AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(exp(-avg(lp)), 6) AS ppl
+              FROM lp GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.ppl
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "alignment_percentile_docs": f"""
             WITH {_ALIGN_CTE},
