@@ -223,6 +223,7 @@ def percentile_keep(
     score_col: str,
     keep_frac: float,
     out_col: str = "keep_topp",
+    cache: bool = True,
 ) -> DataFrame:
     """DataComp-style percentile filtering: keep the top ``keep_frac``
     fraction of rows by score (e.g. CLIP-score top-30%), the published
@@ -238,12 +239,28 @@ def percentile_keep(
     the tie mass).  NULL scores drop — the treat-unscorable-as-invalid
     policy.  Adds boolean ``out_col``; rows are not removed (the curation
     gate owns removal).
+
+    ``cache`` (default on) persists the SLIM score projection for the
+    quantile refinement — each refinement level is a scan, and when the
+    score is an expensive expression (an alignment fold, a UDF) every
+    level would otherwise recompute it (measured 3.5× on the alignment
+    query).  The persisted column is one double per row and is unpersisted
+    before returning — the lifecycle is fully internal because the
+    quantile resolves eagerly.  Pass ``cache=False`` for one-shot scores
+    that are cheaper than the memory write (a raw column).
     """
     from dataqualitycontroltool_spark.operators.quantiles import exact_quantiles
 
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    thr = exact_quantiles(df, score_col, [1.0 - keep_frac])[0]
+    scores = df.select(score_col)
+    if cache:
+        scores = scores.persist()
+    try:
+        thr = exact_quantiles(scores, score_col, [1.0 - keep_frac])[0]
+    finally:
+        if cache:
+            scores.unpersist()
     if thr is None:  # no non-NULL scores at all
         return df.withColumn(out_col, F.lit(False))
     return df.withColumn(
