@@ -652,6 +652,15 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_repeated_spans_documents(spark, sf_dir):
+    """Exact-substring repeated-span stats (Lee et al. 2022 semantics):
+    maximal >=8-token runs shared verbatim across >=2 docs, rolled up per
+    document as (n_spans, repeated_tokens, repeated_frac)."""
+    return dedup.repeated_span_summary(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_docs=2
+    )
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -900,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "text_repetition": q_text_repetition,
         "boilerplate_line_removal": q_boilerplate_line_removal,
+        "repeated_spans_documents": q_repeated_spans_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1719,6 +1729,42 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN near n ON n.doc_id = m.doc_id
             )
             SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM reasons
+        """,
+        "repeated_spans_documents": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+              FROM tok, unnest(range(1, len(toks) - 6)) AS t(i)
+              WHERE len(toks) >= 8
+            ),
+            shared AS (
+              SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+              FROM hits
+            ),
+            spans AS (
+              SELECT doc_id, max(pos) - min(pos) + 8 AS span_tokens
+              FROM isl GROUP BY doc_id, grp
+            ),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(p.n_spans, 0) AS n_spans,
+                   coalesce(p.repeated_tokens, 0) AS repeated_tokens,
+                   round(coalesce(p.repeated_tokens, 0) * 1.0
+                         / greatest(len(t.toks), 1), 6) AS repeated_frac
+            FROM tok t LEFT JOIN per_doc p USING (doc_id)
         """,
         "boilerplate_line_removal": """
             WITH split AS (

@@ -848,3 +848,117 @@ def decontamination_flags(
             (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# repeated-span detection (exact-substring dedup, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    gram_key: str = "string",
+) -> DataFrame:
+    """Maximal token spans that appear verbatim in >= ``min_docs`` distinct
+    documents — the scalable analogue of suffix-array exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): any repeated substring of >= k tokens is a run of >= 1
+    consecutive repeated k-grams, so adjacent shared k-gram positions merge
+    (gaps-and-islands) into the maximal repeated span.  Output one row per
+    (doc, span): ``(id, span_start, span_end, span_tokens)`` with 0-based
+    inclusive token offsets.
+
+    The reference tool has no corpus-level text operator (it validates
+    cell values row-at-a-time, mipqctool/model/qcfrictionless); this is
+    LLM-pipeline coverage on the same engine.
+
+    Plan (3 keyed shuffles, all partial-aggregated map-side):
+      1. positional k-grams via one scan — ``posexplode`` over a
+         let-bound transform (no re-tokenization per gram);
+      2. shared-gram vocabulary: hash-agg on the gram key with a distinct
+         doc count (two-phase, map-side partial);
+      3. semi-join grams -> shared vocabulary on the gram key (AQE picks
+         broadcast when the shared vocab is small — typical, since most
+         grams are unique); then one exchange on ``id`` for the
+         row_number window, whose partitioning the islands group-by
+         REUSES (ClusteredDistribution on (id, grp) is satisfied by
+         hash(id) — no 4th exchange).
+
+    Nothing is O(n^2): gram volume is ~1 row per corpus token and the join
+    fan-out is bounded by sum over shared grams of their doc frequency —
+    the contaminated mass itself.  ``gram_key='string'`` joins on the raw
+    gram text (exact, DuckDB-replayable); ``'md5'`` shrinks the shuffle to
+    16 bytes/gram (still effectively exact at 10^12 grams);
+    ``'xxhash64'`` halves that again but admits ~n^2/2^65 false shared
+    grams — fine for a lossy pre-filter, not for the exact contract."""
+    if gram_key not in ("string", "md5", "xxhash64"):
+        raise ValueError(f"unknown gram_key {gram_key!r}")
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - k)
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+    key = {
+        "string": lambda c: c,
+        "md5": F.md5,
+        "xxhash64": F.xxhash64,
+    }[gram_key]
+    grams = df.select(
+        F.col(id_col), F.posexplode(let(tokens(F.col(text_col)), build))
+    ).select(id_col, F.col("pos"), key(F.col("col")).alias("_g"))
+    shared = (
+        grams.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = grams.join(shared, "_g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_tokens"),
+        )
+        .drop("_grp")
+    )
+
+
+def repeated_span_summary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    gram_key: str = "string",
+) -> DataFrame:
+    """Per-document rollup of :func:`repeated_ngram_spans` — the filter
+    signal a curation pass thresholds on: ``(id, n_spans,
+    repeated_tokens, repeated_frac)`` for EVERY input document (zeros when
+    clean).  ``repeated_frac`` is repeated tokens over the doc's
+    whitespace-token count, rounded to 6 places for cross-engine replay."""
+    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("repeated_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_n_toks")
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("repeated_tokens", F.lit(0)).alias("repeated_tokens"),
+        F.round(
+            F.coalesce("repeated_tokens", F.lit(0))
+            / F.greatest("_n_toks", F.lit(1)),
+            6,
+        ).alias("repeated_frac"),
+    )

@@ -401,3 +401,94 @@ def test_simhash_packed_fast_path_matches_definition(spark):
             df.select("id", dedup._simhash_wide(
                 dedup.tokens(F.col("text")), "xxhash64").alias("simhash")).collect()}
     assert fast == wide
+
+
+# --------------------------------------------------------------------------
+# repeated-span detection (exact-substring dedup)
+# --------------------------------------------------------------------------
+
+
+def _py_repeated_spans(rows, k=3, min_docs=2):
+    """Independent reference: pure-Python k-gram positions, shared vocab,
+    gaps-and-islands merge."""
+    import re
+    from collections import defaultdict
+
+    toks = {i: re.split(r"\s+", t.strip().lower()) for i, t in rows}
+    grams = defaultdict(set)   # gram -> doc ids
+    pos = defaultdict(list)    # doc -> positions of each gram
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = " ".join(tk[p:p + k])
+            grams[g].add(i)
+            pos[i].append((p, g))
+    shared = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    spans = {}
+    for i, plist in pos.items():
+        hit = sorted(p for p, g in plist if g in shared)
+        out, start = [], None
+        for j, p in enumerate(hit):
+            if start is None:
+                start = p
+            if j + 1 == len(hit) or hit[j + 1] != p + 1:
+                out.append((start, p + k - 1))
+                start = None
+        if out:
+            spans[i] = out
+    return spans
+
+
+SPAN_ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "intro words alpha beta gamma delta epsilon closing remark"),
+    (3, "zeta eta theta unrelated filler text goes here"),
+    (4, "nothing in common with the others at all"),
+    (5, "x"),
+    (6, ""),
+]
+
+
+def test_repeated_spans_match_python_reference(spark):
+    df = spark.createDataFrame(SPAN_ROWS, ["id", "text"])
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in dedup.repeated_ngram_spans(df, "id", "text", k=3).collect()
+    }
+    want = {
+        (i, s, e)
+        for i, sp in _py_repeated_spans(SPAN_ROWS, k=3).items()
+        for s, e in sp
+    }
+    assert got == want and got  # non-empty: docs 1/2 share a 5-token run
+
+
+def test_repeated_spans_maximal_merge(spark):
+    # a 5-token shared run = 3 overlapping 3-grams -> ONE maximal span
+    df = spark.createDataFrame(SPAN_ROWS[:2], ["id", "text"])
+    spans = dedup.repeated_ngram_spans(df, "id", "text", k=3).collect()
+    by_doc = {r.id: (r.span_start, r.span_end, r.span_tokens) for r in spans}
+    assert by_doc[1] == (0, 4, 5) and by_doc[2] == (2, 6, 5)
+
+
+def test_repeated_span_summary_zeros_and_frac(spark):
+    df = spark.createDataFrame(SPAN_ROWS, ["id", "text"])
+    out = {r.id: r for r in
+           dedup.repeated_span_summary(df, "id", "text", k=3).collect()}
+    assert len(out) == 6                       # every doc, zeros when clean
+    assert out[4].n_spans == 0 and out[4].repeated_frac == 0.0
+    # doc 1 shares "alpha..epsilon" with 2 AND "zeta eta theta" with 3
+    assert out[1].n_spans == 2 and out[1].repeated_tokens == 8
+    assert out[1].repeated_frac == 1.0
+    assert out[3].n_spans == 1 and out[3].repeated_tokens == 3
+    assert out[3].repeated_frac == round(3 / 8, 6)
+    assert out[6].n_spans == 0                 # empty doc survives
+
+def test_repeated_spans_gram_keys_agree(spark):
+    df = spark.createDataFrame(SPAN_ROWS, ["id", "text"])
+    base = {(r.id, r.span_start, r.span_end)
+            for r in dedup.repeated_ngram_spans(df, "id", "text", k=3).collect()}
+    for gk in ("md5", "xxhash64"):
+        alt = {(r.id, r.span_start, r.span_end)
+               for r in dedup.repeated_ngram_spans(
+                   df, "id", "text", k=3, gram_key=gk).collect()}
+        assert alt == base
