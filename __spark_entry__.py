@@ -652,6 +652,57 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_quality_classifier_docs(spark, sf_dir):
+    """Learned keep/drop filter by rule distillation (the CCNet layout:
+    a cheap classifier reproduces filtering decisions): logistic
+    regression trained ON the engine — 24 full-batch GD steps, each ONE
+    map-side-combinable global aggregate; the model is 4 driver doubles
+    folded into the scoring projection — with the hand-written
+    text_quality keep rule as the label and three continuous signals
+    (saturating token count, mean token length, alpha ratio) as features.
+    Reaches F1 ~0.98 vs its teacher rule on the sf corpus with zero
+    false keeps (pytest-pinned >= 0.9).  Gradients round to 9 decimals
+    inside the aggregate so the trained weights replay bit-identically in
+    the unrolled SQL twin."""
+    from dataqualitycontroltool_spark.operators import classifier
+    from dataqualitycontroltool_spark.operators.dedup import let, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def signals(t):
+        n_raw = F.size(t)
+        n_tokens = F.when(
+            F.trim(F.col("text")) == "", F.lit(0)
+        ).otherwise(n_raw)
+        total_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+        mtl = total_len / F.greatest(n_raw, F.lit(1))
+        return F.struct(
+            n_tokens.alias("n_tokens"), mtl.alias("mtl")
+        )
+
+    alpha = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    feat = docs.select(
+        "doc_id",
+        let(tokens(F.col("text")), signals).alias("_s"),
+        alpha.alias("x3"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("_s.n_tokens").between(30, 1000)
+            & F.col("_s.mtl").between(2.5, 8.0)
+            & (F.col("x3") >= 0.6),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)).alias("y"),
+        (F.least(F.col("_s.n_tokens"), F.lit(45)) / F.lit(45.0)).alias("x1"),
+        (F.least(F.col("_s.mtl"), F.lit(10.0)) / F.lit(10.0)).alias("x2"),
+        "x3",
+    )
+    out = classifier.train_and_score(feat, ["x1", "x2", "x3"], "y", steps=24, lr=64.0)
+    return out.select("doc_id", "p", "keep")
+
+
 def q_repeated_spans_documents(spark, sf_dir):
     """Exact-substring repeated-span stats (Lee et al. 2022 semantics):
     maximal >=8-token runs shared verbatim across >=2 docs, rolled up per
@@ -910,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "boilerplate_line_removal": q_boilerplate_line_removal,
         "repeated_spans_documents": q_repeated_spans_documents,
+        "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1080,6 +1132,68 @@ e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 """
+
+
+def _logit_oracle_sql(steps: int = 24, lr: str = "64.0") -> str:
+    """Unrolled SQL twin of q_quality_classifier_docs: the same features
+    and teacher-rule label, the same left-associated z, gradients rounded
+    to 9 inside each step's aggregate, weights updated in exact arithmetic
+    (lr a power of two) — so the replayed weights (and hence p) match the
+    Spark driver-loop bit-for-bit.  Every CTE is MATERIALIZED: without it
+    DuckDB inlines the w-chain and the plan grows exponentially in steps."""
+    feat = r"""feat AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN (n_tokens BETWEEN 30 AND 1000)
+                    AND (mtl BETWEEN 2.5 AND 8.0) AND (alpha >= 0.6)
+                  THEN 1.0 ELSE 0.0 END AS y,
+             least(n_tokens, 45) / 45.0 AS x1,
+             least(mtl, 10.0) / 10.0 AS x2,
+             alpha AS x3
+      FROM (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 * 1.0 / greatest(len(toks), 1) AS mtl,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 * 1.0 / greatest(length(text), 1) AS alpha
+        FROM (SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents))
+    )"""
+    ctes = [
+        feat,
+        "w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for s in range(1, steps + 1):
+        prev = f"w{s - 1}"
+        p = "1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2 + w3 * x3)))"
+        ctes.append(
+            f"""g{s} AS MATERIALIZED (
+              SELECT round(avg({p} - y), 9) AS g0,
+                     round(avg(({p} - y) * x1), 9) AS gx1,
+                     round(avg(({p} - y) * x2), 9) AS gx2,
+                     round(avg(({p} - y) * x3), 9) AS gx3
+              FROM feat CROSS JOIN {prev}
+            )"""
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+              SELECT b - {lr} * g0 AS b, w1 - {lr} * gx1 AS w1,
+                     w2 - {lr} * gx2 AS w2, w3 - {lr} * gx3 AS w3
+              FROM {prev} CROSS JOIN g{s}
+            )"""
+        )
+    zf = "(b + w1 * x1 + w2 * x2 + w3 * x3)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-{zf})), 6) AS p,
+               round(1.0 / (1.0 + exp(-{zf})), 6) >= 0.5 AS keep
+        FROM feat CROSS JOIN w{steps}
+    """
+    )
 
 
 def _hyperplane_bucket_sql() -> str:
@@ -1730,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM reasons
         """,
+        "quality_classifier_docs": _logit_oracle_sql(steps=24, lr="64.0"),
         "repeated_spans_documents": r"""
             WITH tok AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

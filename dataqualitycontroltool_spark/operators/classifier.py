@@ -1,0 +1,113 @@
+"""Distributed logistic-regression quality classifier in pure Catalyst.
+
+Trains the keep/drop filter itself on the engine: full-batch gradient
+descent where every step is ONE map-side-combinable global aggregate
+(`avg` of per-row gradient terms) over the corpus, and the model is
+``d + 1`` driver-held doubles folded into the scoring projection as
+literals.  This is the standard data-parallel GD layout: at 10^12 rows a
+step is a single whole-stage-codegen scan + partial/final hash aggregate
+— no shuffle of row data, only the d+1 partial sums cross the wire.
+
+The reference tool's keep/drop logic is hand-written per-column rules
+(mipqctool/model/qcfrictionless — row-at-a-time checks); this operator
+closes the loop from engineered quality signals to a LEARNED decision on
+the same engine, CCNet-style (quality classifier over cheap features).
+
+Cross-engine determinism contract (same discipline as the bigram-LM and
+centroid operators): gradients are rounded to 9 decimals INSIDE the
+aggregate, so the float noise from distributed summation order
+(~1e-15 relative) is absorbed before the weight update; the update
+itself (``w - lr * g``) is exact IEEE arithmetic on identical inputs, so
+the trained weights are bit-identical to a SQL replay that unrolls the
+same number of steps.  Keep ``lr`` exactly representable (1.0, 0.5,
+0.25) to preserve that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _z(weights: list[float], feats: list[Column]) -> Column:
+    """Left-associated w0 + w1*x1 + ... — mirrors the SQL replay's parse
+    order so the float result is bit-identical."""
+    z = F.lit(float(weights[0]))
+    for w, x in zip(weights[1:], feats):
+        z = z + F.lit(float(w)) * x
+    return z
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 4,
+    lr: float = 1.0,
+) -> list[float]:
+    """Full-batch GD from zero init; returns ``[bias, w_1, ..., w_d]``.
+
+    Each step collects exactly d+1 doubles (the averaged gradient) — a
+    bounded driver transfer by design, like the connected-components
+    convergence scalar.  For a minibatch variant at extreme scale,
+    pre-filter ``df`` with a deterministic md5-threshold sample (see
+    ``operators.corpus.stratified_sample``) — replayable, no RNG state.
+    """
+    feats = [F.col(c) for c in feature_cols]
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(steps):
+        err = _sigmoid(_z(w, feats)) - F.col(label_col)
+        grad = df.agg(
+            F.round(F.avg(err), 9).alias("g0"),
+            *[
+                F.round(F.avg(err * x), 9).alias(f"g{j + 1}")
+                for j, x in enumerate(feats)
+            ],
+        ).first()
+        w = [w[i] - lr * float(grad[i]) for i in range(len(w))]
+    return w
+
+
+def score_logistic(
+    df: DataFrame,
+    weights: list[float],
+    feature_cols: list[str],
+    threshold: float = 0.5,
+    p_col: str = "p",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Pure-projection scoring: p = sigmoid(w·x) rounded to 6 (the
+    cross-engine replay contract), keep = rounded p >= threshold.  The
+    weights are literals — whole-stage codegen, no lookup, no UDF."""
+    p = F.round(_sigmoid(_z(weights, [F.col(c) for c in feature_cols])), 6)
+    return df.withColumn(p_col, p).withColumn(
+        keep_col, F.col(p_col) >= F.lit(threshold)
+    )
+
+
+def train_and_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 4,
+    lr: float = 1.0,
+    threshold: float = 0.5,
+    cache: bool = True,
+) -> DataFrame:
+    """Convenience: train on ``df`` then score the same frame.
+
+    ``cache=True`` persists the (slim — pass only id + features + label)
+    feature frame so the ``steps`` epochs aggregate cached doubles instead
+    of re-deriving features from raw text every pass (measured 7.6s -> ~2s
+    for 24 steps over 5k docs); the caller owns the lifecycle (unpersist
+    when done), same contract as ``dedup.simhash_pairs``.  At 10^12 rows
+    the production analogue is checkpointing the feature table to storage
+    once and reading it per epoch — memory-persist and GD-over-features
+    have the same one-materialization shape."""
+    if cache:
+        df = df.persist()
+    w = train_logistic(df, feature_cols, label_col, steps, lr)
+    return score_logistic(df, w, feature_cols, threshold)

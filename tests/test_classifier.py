@@ -1,0 +1,84 @@
+"""Distributed logistic-regression classifier (operators/classifier.py):
+GD math vs an independent numpy twin, rule-distillation quality on the sf
+corpus, and the pure-projection scoring plan."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataqualitycontroltool_spark.operators import classifier
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _numpy_gd(X, y, steps, lr):
+    """Independent reference: same rounding contract (round-9 gradients,
+    exact update), numpy instead of Spark."""
+    w = np.zeros(X.shape[1] + 1)
+    for _ in range(steps):
+        z = w[0] + X @ w[1:]
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        g = np.array([round(float(err.mean()), 9)]
+                     + [round(float((err * X[:, j]).mean()), 9)
+                        for j in range(X.shape[1])])
+        w = w - lr * g
+    return w
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        (1, 0.9, 0.1, 1.0),
+        (2, 0.8, 0.3, 1.0),
+        (3, 0.7, 0.2, 1.0),
+        (4, 0.2, 0.8, 0.0),
+        (5, 0.1, 0.9, 0.0),
+        (6, 0.3, 0.7, 0.0),
+    ]
+    return spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+
+
+def test_train_matches_numpy_reference(toy):
+    w = classifier.train_logistic(toy, ["x1", "x2"], "y", steps=10, lr=4.0)
+    rows = sorted(toy.collect(), key=lambda r: r.id)
+    X = np.array([[r.x1, r.x2] for r in rows])
+    y = np.array([r.y for r in rows])
+    want = _numpy_gd(X, y, steps=10, lr=4.0)
+    assert w == pytest.approx(list(want), abs=1e-12)
+
+
+def test_score_separates_toy_classes(toy):
+    out = classifier.train_and_score(toy, ["x1", "x2"], "y", steps=30, lr=8.0)
+    got = {r.id: (r.p, r.keep) for r in out.collect()}
+    assert all(got[i][1] for i in (1, 2, 3))
+    assert not any(got[i][1] for i in (4, 5, 6))
+    assert min(got[i][0] for i in (1, 2, 3)) > max(got[i][0] for i in (4, 5, 6))
+
+
+def test_scoring_plan_is_pure_projection(toy):
+    scored = classifier.score_logistic(toy, [0.1, 2.0, -1.0], ["x1", "x2"])
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_distilled_rule_f1_on_corpus(spark):
+    """The entry query's learned filter must track its teacher rule."""
+    import __spark_entry__ as entry_mod
+
+    pred = entry_mod.queries()["quality_classifier_docs"](spark, SF_DIR)
+    truth = entry_mod.queries()["text_quality"](spark, SF_DIR).select(
+        "doc_id", F.col("keep").alias("y")
+    )
+    j = pred.join(truth, "doc_id").collect()
+    tp = sum(1 for r in j if r.keep and r.y)
+    fp = sum(1 for r in j if r.keep and not r.y)
+    fn = sum(1 for r in j if not r.keep and r.y)
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.9, (tp, fp, fn)
+    assert fp == 0  # the learned filter never keeps a rule-dropped doc here
