@@ -712,6 +712,15 @@ def q_repeated_spans_documents(spark, sf_dir):
     )
 
 
+def q_remove_spans_documents(spark, sf_dir):
+    """Exact-substring CUT (Lee et al. 2022 removal step): every repeated
+    >=8-token span excised from every document, original case kept,
+    returns (doc_id, text_clean, n_tokens, n_removed)."""
+    return dedup.remove_repeated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=8, min_docs=2
+    )
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -961,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "boilerplate_line_removal": q_boilerplate_line_removal,
         "repeated_spans_documents": q_repeated_spans_documents,
+        "remove_spans_documents": q_remove_spans_documents,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1132,6 +1142,35 @@ e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 """
+
+
+# shared CTE chain for the repeated-span (exact-substring dedup) oracles:
+# positional 8-grams -> shared vocabulary -> gaps-and-islands maximal spans
+_SPANS_CTE = r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+              FROM tok, unnest(range(1, len(toks) - 6)) AS t(i)
+              WHERE len(toks) >= 8
+            ),
+            shared AS (
+              SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS grp
+              FROM hits
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                     max(pos) - min(pos) + 8 AS span_tokens
+              FROM isl GROUP BY doc_id, grp
+            )"""
 
 
 def _logit_oracle_sql(steps: int = 24, lr: str = "64.0") -> str:
@@ -1845,30 +1884,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM reasons
         """,
         "quality_classifier_docs": _logit_oracle_sql(steps=24, lr="64.0"),
-        "repeated_spans_documents": r"""
-            WITH tok AS (
-              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-              FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
-              FROM tok, unnest(range(1, len(toks) - 6)) AS t(i)
-              WHERE len(toks) >= 8
-            ),
-            shared AS (
-              SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
-            ),
-            hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
-            isl AS (
-              SELECT doc_id, pos,
-                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS grp
-              FROM hits
-            ),
-            spans AS (
-              SELECT doc_id, max(pos) - min(pos) + 8 AS span_tokens
-              FROM isl GROUP BY doc_id, grp
-            ),
+        "repeated_spans_documents": _SPANS_CTE + r""",
             per_doc AS (
               SELECT doc_id, count(*) AS n_spans,
                      CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
@@ -1880,6 +1896,43 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "remove_spans_documents": _SPANS_CTE + r""",
+            rawtok AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS rt,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            cov AS (
+              SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+              FROM spans
+            ),
+            expl AS (
+              SELECT doc_id, i AS pos, rt[i + 1] AS tk
+              FROM rawtok, unnest(range(0, n_tokens)) AS p(i)
+            ),
+            kept AS (
+              SELECT e.doc_id, e.pos, e.tk FROM expl e
+              ANTI JOIN cov c ON c.doc_id = e.doc_id AND c.pos = e.pos
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id
+            ),
+            covn AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+              FROM cov GROUP BY doc_id
+            )
+            SELECT r.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   r.n_tokens,
+                   coalesce(c.n_removed, 0) AS n_removed
+            FROM rawtok r
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN covn c USING (doc_id)
         """,
         "boilerplate_line_removal": """
             WITH split AS (

@@ -962,3 +962,66 @@ def repeated_span_summary(
             6,
         ).alias("repeated_frac"),
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    gram_key: str = "string",
+) -> DataFrame:
+    """Cut every repeated span (:func:`repeated_ngram_spans`) out of every
+    document — the removal step of Lee et al. 2022's exact-substring
+    dedup.  Returns ``(id, text_clean, n_tokens, n_removed)`` with the
+    surviving tokens rejoined in order, ORIGINAL case preserved (spans are
+    detected on lower-cased tokens, but position i maps 1:1 onto the same
+    whitespace split of the raw text).
+
+    Beyond the detection plan this adds ONE aggregation shuffle
+    (spans rolled up to a per-doc array — bounded by doc length, the same
+    per-row state class as the line-dedup reassembly) + a broadcast-or-
+    shuffle left join back, then a pure projection: each token index is
+    kept unless some span covers it (``exists`` over the span array,
+    JVM-side, O(tokens x spans/doc) per row with no further shuffle)."""
+    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+
+    def clean(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - 1)
+        kept = F.filter(
+            idx,
+            lambda i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+        )
+        return F.transform(kept, lambda i: F.element_at(t, i + 1))
+
+    raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_spans", F.array().cast(
+            "array<struct<span_start:int,span_end:int>>")).alias("_spans"),
+        raw_toks.alias("_t"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(raw_toks)).cast("bigint").alias("n_tokens"),
+    )
+    return out.select(
+        id_col,
+        F.when(
+            F.col("n_tokens") == 0, F.lit("")
+        ).otherwise(F.concat_ws(" ", let(F.col("_t"), clean))).alias("text_clean"),
+        "n_tokens",
+        F.coalesce(
+            F.aggregate(
+                "_spans",
+                F.lit(0),
+                lambda a, s: a + (s["span_end"] - s["span_start"] + 1),
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_removed"),
+    )

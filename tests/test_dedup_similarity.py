@@ -492,3 +492,31 @@ def test_repeated_spans_gram_keys_agree(spark):
                for r in dedup.repeated_ngram_spans(
                    df, "id", "text", k=3, gram_key=gk).collect()}
         assert alt == base
+
+
+def test_remove_repeated_spans_cuts_and_preserves_case(spark):
+    rows = [(i, t.replace("alpha", "Alpha") if i == 1 else t)
+            for i, t in SPAN_ROWS]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: r for r in
+           dedup.remove_repeated_spans(df, "id", "text", k=3).collect()}
+    assert out[1].text_clean == ""          # doc 1 fully covered (2 spans)
+    assert out[1].n_removed == 8 and out[1].n_tokens == 8
+    # span match is case-insensitive, surviving text keeps original case
+    assert out[2].text_clean == "intro words closing remark"
+    assert out[2].n_removed == 5
+    assert out[4].text_clean == SPAN_ROWS[3][1] and out[4].n_removed == 0
+    assert out[6].text_clean == "" and out[6].n_tokens == 0
+
+
+def test_remove_repeated_spans_matches_python_reference(spark):
+    df = spark.createDataFrame(SPAN_ROWS, ["id", "text"])
+    got = {r.id: r.text_clean for r in
+           dedup.remove_repeated_spans(df, "id", "text", k=3).collect()}
+    spans = _py_repeated_spans(SPAN_ROWS, k=3)
+    import re
+    for i, t in SPAN_ROWS:
+        tk = re.split(r"\s+", t.strip()) if t.strip() else []
+        covered = {p for s, e in spans.get(i, []) for p in range(s, e + 1)}
+        want = " ".join(x for j, x in enumerate(tk) if j not in covered)
+        assert got[i] == want, i
