@@ -652,6 +652,16 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_cross_source_overlap(spark, sf_dir):
+    """Corpus-audit overlap matrix: distinct shared 8-grams between every
+    source pair — the cross-source contamination mass."""
+    return dedup.cross_group_overlap(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", "source", k=8
+    ).select(
+        "group_a", "group_b", F.col("n_shared_grams").cast("bigint").alias("n_shared_grams")
+    )
+
+
 def q_quality_classifier_docs(spark, sf_dir):
     """Learned keep/drop filter by rule distillation (the CCNet layout:
     a cheap classifier reproduces filtering decisions): logistic
@@ -971,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_removal": q_boilerplate_line_removal,
         "repeated_spans_documents": q_repeated_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
+        "cross_source_overlap": q_cross_source_overlap,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1896,6 +1907,23 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "cross_source_overlap": r"""
+            WITH tok AS (
+              SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ),
+            vocab AS (
+              SELECT DISTINCT source,
+                     array_to_string(toks[i:i+7], ' ') AS g
+              FROM tok, unnest(range(1, len(toks) - 6)) AS t(i)
+              WHERE len(toks) >= 8
+            )
+            SELECT a.source AS group_a, b.source AS group_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM vocab a JOIN vocab b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "remove_spans_documents": _SPANS_CTE + r""",
             rawtok AS (

@@ -1025,3 +1025,51 @@ def remove_repeated_spans(
             F.lit(0),
         ).cast("bigint").alias("n_removed"),
     )
+
+
+def cross_group_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-audit overlap matrix (the WIMBD-style 'how much do my
+    sources share' question): for every pair of groups (sources, domains,
+    shards) the number of DISTINCT k-token grams that appear verbatim in
+    both — the cross-source contamination mass that drives dedup policy.
+    Output ``(group_a, group_b, n_shared_grams)``, ``group_a < group_b``.
+
+    Plan: one scan explodes positional k-grams, reduced immediately to the
+    distinct (group, gram) vocabulary (hash-agg, map-side partial: a gram
+    repeated across a group's million docs crosses the wire once); then a
+    self equi-join on the gram and one pair-count aggregate.  Join fan-out
+    is sum over grams of (groups containing it choose 2) — bounded by the
+    group count, not the corpus; grams unique to one group (the vast
+    majority) produce nothing."""
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - k)
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+    vocab = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.explode(F.array_distinct(let(tokens(F.col(text_col)), build))).alias(
+                "_g"
+            ),
+        )
+        .distinct()
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g")) & (F.col("a._grp") < F.col("b._grp")),
+        )
+        .groupBy(
+            F.col("a._grp").alias("group_a"), F.col("b._grp").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

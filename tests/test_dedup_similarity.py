@@ -520,3 +520,18 @@ def test_remove_repeated_spans_matches_python_reference(spark):
         covered = {p for s, e in spans.get(i, []) for p in range(s, e + 1)}
         want = " ".join(x for j, x in enumerate(tk) if j not in covered)
         assert got[i] == want, i
+
+
+def test_cross_group_overlap_counts(spark):
+    rows = [
+        (1, "s1", "one two three four shared tail words here"),
+        (2, "s2", "prefix one two three four shared tail words here"),
+        (3, "s2", "one two three four nothing else matches now"),
+        (4, "s3", "totally disjoint content in this source doc"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "src", "text"])
+    out = {(r.group_a, r.group_b): r.n_shared_grams for r in
+           dedup.cross_group_overlap(df, "id", "text", "src", k=4).collect()}
+    # s1 vs s2: doc1's 4-grams at pos 0..4 all appear in doc2 (shifted) and
+    # pos 0 also in doc3 — distinct shared grams = 5
+    assert out == {("s1", "s2"): 5}
