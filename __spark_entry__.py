@@ -656,7 +656,7 @@ def q_cross_source_overlap(spark, sf_dir):
     """Corpus-audit overlap matrix: distinct shared 8-grams between every
     source pair — the cross-source contamination mass."""
     return dedup.cross_group_overlap(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", "source", k=8
+        load_table(spark, sf_dir, "documents"), "text", "source", k=8
     ).select(
         "group_a", "group_b", F.col("n_shared_grams").cast("bigint").alias("n_shared_grams")
     )
@@ -699,10 +699,12 @@ def q_quality_classifier_docs(spark, sf_dir):
         alpha.alias("x3"),
     ).select(
         "doc_id",
+        # the teacher IS the text_quality rule: its keep thresholds the
+        # ROUND-6 mean_token_len / alpha_ratio metrics, so the label must too
         F.when(
             F.col("_s.n_tokens").between(30, 1000)
-            & F.col("_s.mtl").between(2.5, 8.0)
-            & (F.col("x3") >= 0.6),
+            & F.round(F.col("_s.mtl"), 6).between(2.5, 8.0)
+            & (F.round(F.col("x3"), 6) >= 0.6),
             F.lit(1.0),
         ).otherwise(F.lit(0.0)).alias("y"),
         (F.least(F.col("_s.n_tokens"), F.lit(45)) / F.lit(45.0)).alias("x1"),
@@ -1171,11 +1173,18 @@ _SPANS_CTE = r"""
               SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
             ),
             hits AS (SELECT doc_id, pos FROM grams JOIN shared USING (g)),
+            brks AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM hits
+            ),
             isl AS (
               SELECT doc_id, pos,
-                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                       AS grp
-              FROM hits
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM brks
             ),
             spans AS (
               SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
@@ -1194,7 +1203,8 @@ def _logit_oracle_sql(steps: int = 24, lr: str = "64.0") -> str:
     feat = r"""feat AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN (n_tokens BETWEEN 30 AND 1000)
-                    AND (mtl BETWEEN 2.5 AND 8.0) AND (alpha >= 0.6)
+                    AND (round(mtl, 6) BETWEEN 2.5 AND 8.0)
+                    AND (round(alpha, 6) >= 0.6)
                   THEN 1.0 ELSE 0.0 END AS y,
              least(n_tokens, 45) / 45.0 AS x1,
              least(mtl, 10.0) / 10.0 AS x2,

@@ -67,6 +67,11 @@ def train_logistic(
                 for j, x in enumerate(feats)
             ],
         ).first()
+        if grad[0] is None:
+            raise ValueError(
+                "train_logistic: no rows with non-null label/features — "
+                "nothing to train on"
+            )
         w = [w[i] - lr * float(grad[i]) for i in range(len(w))]
     return w
 

@@ -862,31 +862,41 @@ def repeated_ngram_spans(
     k: int = 8,
     min_docs: int = 2,
     gram_key: str = "string",
+    cache: bool = False,
 ) -> DataFrame:
-    """Maximal token spans that appear verbatim in >= ``min_docs`` distinct
-    documents — the scalable analogue of suffix-array exact-substring dedup
-    ("Deduplicating Training Data Makes Language Models Better", Lee et
-    al. 2022): any repeated substring of >= k tokens is a run of >= 1
-    consecutive repeated k-grams, so adjacent shared k-gram positions merge
-    (gaps-and-islands) into the maximal repeated span.  Output one row per
-    (doc, span): ``(id, span_start, span_end, span_tokens)`` with 0-based
-    inclusive token offsets.
+    """Maximal contiguous token regions covered by k-grams that each appear
+    verbatim in >= ``min_docs`` distinct documents — the union-coverage
+    semantics of suffix-array exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): every
+    repeated substring of >= k tokens is a run of shared k-grams, and hit
+    positions whose k-token windows overlap or touch (gap <= k) merge into
+    one maximal region.  Note a merged region may interleave runs shared
+    with DIFFERENT partner docs — correct for coverage/removal, so
+    ``span_tokens`` counts each covered token exactly once even when the
+    underlying shared runs overlap.  Output one row per (doc, span):
+    ``(id, span_start, span_end, span_tokens)`` — 0-based inclusive token
+    offsets.
 
     The reference tool has no corpus-level text operator (it validates
     cell values row-at-a-time, mipqctool/model/qcfrictionless); this is
     LLM-pipeline coverage on the same engine.
 
     Plan (3 keyed shuffles, all partial-aggregated map-side):
-      1. positional k-grams via one scan — ``posexplode`` over a
-         let-bound transform (no re-tokenization per gram);
+      1. positional k-grams via one scan — ``posexplode`` over the shared
+         :func:`shingles` builder (let-bound: no re-tokenization per gram);
+         ``cache=True`` persists the slim (id, pos, gram-key) frame because
+         it feeds BOTH the vocabulary aggregate and the hits join — under
+         the typical AQE-broadcast vocab there is no exchange to reuse and
+         the explode would otherwise run twice (caller owns unpersist,
+         same contract as ``simhash_pairs``);
       2. shared-gram vocabulary: hash-agg on the gram key with a distinct
          doc count (two-phase, map-side partial);
       3. semi-join grams -> shared vocabulary on the gram key (AQE picks
          broadcast when the shared vocab is small — typical, since most
          grams are unique); then one exchange on ``id`` for the
-         row_number window, whose partitioning the islands group-by
-         REUSES (ClusteredDistribution on (id, grp) is satisfied by
-         hash(id) — no 4th exchange).
+         lag + running-sum island windows (one sort, same spec), whose
+         partitioning the islands group-by REUSES (ClusteredDistribution
+         on (id, grp) is satisfied by hash(id) — no 4th exchange).
 
     Nothing is O(n^2): gram volume is ~1 row per corpus token and the join
     fan-out is bounded by sum over shared grams of their doc frequency —
@@ -897,20 +907,16 @@ def repeated_ngram_spans(
     grams — fine for a lossy pre-filter, not for the exact contract."""
     if gram_key not in ("string", "md5", "xxhash64"):
         raise ValueError(f"unknown gram_key {gram_key!r}")
-
-    def build(t: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.size(t) - k)
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
-        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
-
     key = {
         "string": lambda c: c,
         "md5": F.md5,
         "xxhash64": F.xxhash64,
     }[gram_key]
     grams = df.select(
-        F.col(id_col), F.posexplode(let(tokens(F.col(text_col)), build))
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), k))
     ).select(id_col, F.col("pos"), key(F.col("col")).alias("_g"))
+    if cache:
+        grams = grams.persist()
     shared = (
         grams.groupBy("_g")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -919,8 +925,15 @@ def repeated_ngram_spans(
     )
     hits = grams.join(shared, "_g").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    grp = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        hits.withColumn("_brk", brk)
+        .withColumn("_grp", grp)
         .groupBy(id_col, "_grp")
         .agg(
             F.min("pos").alias("span_start"),
@@ -938,13 +951,15 @@ def repeated_span_summary(
     k: int = 8,
     min_docs: int = 2,
     gram_key: str = "string",
+    cache: bool = False,
 ) -> DataFrame:
     """Per-document rollup of :func:`repeated_ngram_spans` — the filter
     signal a curation pass thresholds on: ``(id, n_spans,
     repeated_tokens, repeated_frac)`` for EVERY input document (zeros when
     clean).  ``repeated_frac`` is repeated tokens over the doc's
-    whitespace-token count, rounded to 6 places for cross-engine replay."""
-    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key)
+    whitespace-token count, rounded to 6 places for cross-engine replay;
+    spans never overlap, so it is true coverage and never exceeds 1."""
+    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key, cache)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_tokens").alias("repeated_tokens"),
@@ -971,13 +986,15 @@ def remove_repeated_spans(
     k: int = 8,
     min_docs: int = 2,
     gram_key: str = "string",
+    cache: bool = False,
 ) -> DataFrame:
     """Cut every repeated span (:func:`repeated_ngram_spans`) out of every
     document — the removal step of Lee et al. 2022's exact-substring
     dedup.  Returns ``(id, text_clean, n_tokens, n_removed)`` with the
     surviving tokens rejoined in order, ORIGINAL case preserved (spans are
     detected on lower-cased tokens, but position i maps 1:1 onto the same
-    whitespace split of the raw text).
+    whitespace split of the raw text).  Spans never overlap, so
+    ``n_removed`` is exact coverage and never exceeds ``n_tokens``.
 
     Beyond the detection plan this adds ONE aggregation shuffle
     (spans rolled up to a per-doc array — bounded by doc length, the same
@@ -985,7 +1002,7 @@ def remove_repeated_spans(
     shuffle left join back, then a pure projection: each token index is
     kept unless some span covers it (``exists`` over the span array,
     JVM-side, O(tokens x spans/doc) per row with no further shuffle)."""
-    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key)
+    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key, cache)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
@@ -1029,7 +1046,6 @@ def remove_repeated_spans(
 
 def cross_group_overlap(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     group_col: str,
     k: int = 8,
@@ -1040,25 +1056,20 @@ def cross_group_overlap(
     both — the cross-source contamination mass that drives dedup policy.
     Output ``(group_a, group_b, n_shared_grams)``, ``group_a < group_b``.
 
-    Plan: one scan explodes positional k-grams, reduced immediately to the
+    Plan: one scan explodes k-grams (the shared :func:`shingles` builder,
+    deduped per row before the explode), reduced immediately to the
     distinct (group, gram) vocabulary (hash-agg, map-side partial: a gram
     repeated across a group's million docs crosses the wire once); then a
     self equi-join on the gram and one pair-count aggregate.  Join fan-out
     is sum over grams of (groups containing it choose 2) — bounded by the
     group count, not the corpus; grams unique to one group (the vast
     majority) produce nothing."""
-
-    def build(t: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.size(t) - k)
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
-        return F.when(F.size(t) >= k, sh).otherwise(F.array().cast("array<string>"))
-
     vocab = (
         df.select(
             F.col(group_col).alias("_grp"),
-            F.explode(F.array_distinct(let(tokens(F.col(text_col)), build))).alias(
-                "_g"
-            ),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), k))
+            ).alias("_g"),
         )
         .distinct()
     )

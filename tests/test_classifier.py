@@ -82,3 +82,9 @@ def test_distilled_rule_f1_on_corpus(spark):
     f1 = 2 * tp / (2 * tp + fp + fn)
     assert f1 >= 0.9, (tp, fp, fn)
     assert fp == 0  # the learned filter never keeps a rule-dropped doc here
+
+
+def test_train_on_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "x1 double, y double")
+    with pytest.raises(ValueError, match="nothing to train"):
+        classifier.train_logistic(empty, ["x1"], "y", steps=1)

@@ -430,7 +430,8 @@ def _py_repeated_spans(rows, k=3, min_docs=2):
         for j, p in enumerate(hit):
             if start is None:
                 start = p
-            if j + 1 == len(hit) or hit[j + 1] != p + 1:
+            # merge while coverage windows overlap or touch (gap <= k)
+            if j + 1 == len(hit) or hit[j + 1] - p > k:
                 out.append((start, p + k - 1))
                 start = None
         if out:
@@ -476,12 +477,33 @@ def test_repeated_span_summary_zeros_and_frac(spark):
            dedup.repeated_span_summary(df, "id", "text", k=3).collect()}
     assert len(out) == 6                       # every doc, zeros when clean
     assert out[4].n_spans == 0 and out[4].repeated_frac == 0.0
-    # doc 1 shares "alpha..epsilon" with 2 AND "zeta eta theta" with 3
-    assert out[1].n_spans == 2 and out[1].repeated_tokens == 8
+    # doc 1 shares "alpha..epsilon" with 2 AND "zeta eta theta" with 3;
+    # the two regions touch (hit gap 3 == k) so they merge to ONE span
+    assert out[1].n_spans == 1 and out[1].repeated_tokens == 8
     assert out[1].repeated_frac == 1.0
     assert out[3].n_spans == 1 and out[3].repeated_tokens == 3
     assert out[3].repeated_frac == round(3 / 8, 6)
     assert out[6].n_spans == 0                 # empty doc survives
+
+
+def test_overlapping_shared_runs_merge_no_double_count(spark):
+    # k=8: doc 1 = t0..t10 (11 tokens); doc 2 = exactly t0..t7, doc 3 =
+    # exactly t3..t10.  Doc 1's shared gram positions {0, 3} overlap in
+    # coverage (3..7) — they must merge to ONE span covering all 11 tokens,
+    # never double-count (repeated_frac > 1 / n_removed > n_tokens).
+    t = [f"tok{i}" for i in range(11)]
+    df = spark.createDataFrame(
+        [(1, " ".join(t)), (2, " ".join(t[:8])), (3, " ".join(t[3:]))],
+        ["id", "text"],
+    )
+    s = {r.id: r for r in
+         dedup.repeated_span_summary(df, "id", "text", k=8).collect()}
+    assert s[1].n_spans == 1 and s[1].repeated_tokens == 11
+    assert s[1].repeated_frac == 1.0
+    r = {x.id: x for x in
+         dedup.remove_repeated_spans(df, "id", "text", k=8).collect()}
+    assert r[1].n_removed == 11 and r[1].n_tokens == 11
+    assert r[1].text_clean == ""
 
 def test_repeated_spans_gram_keys_agree(spark):
     df = spark.createDataFrame(SPAN_ROWS, ["id", "text"])
@@ -500,7 +522,7 @@ def test_remove_repeated_spans_cuts_and_preserves_case(spark):
     df = spark.createDataFrame(rows, ["id", "text"])
     out = {r.id: r for r in
            dedup.remove_repeated_spans(df, "id", "text", k=3).collect()}
-    assert out[1].text_clean == ""          # doc 1 fully covered (2 spans)
+    assert out[1].text_clean == ""          # doc 1 fully covered
     assert out[1].n_removed == 8 and out[1].n_tokens == 8
     # span match is case-insensitive, surviving text keeps original case
     assert out[2].text_clean == "intro words closing remark"
@@ -531,7 +553,7 @@ def test_cross_group_overlap_counts(spark):
     ]
     df = spark.createDataFrame(rows, ["id", "src", "text"])
     out = {(r.group_a, r.group_b): r.n_shared_grams for r in
-           dedup.cross_group_overlap(df, "id", "text", "src", k=4).collect()}
+           dedup.cross_group_overlap(df, "text", "src", k=4).collect()}
     # s1 vs s2: doc1's 4-grams at pos 0..4 all appear in doc2 (shifted) and
     # pos 0 also in doc3 — distinct shared grams = 5
     assert out == {("s1", "s2"): 5}
