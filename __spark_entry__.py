@@ -652,6 +652,14 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_skew_report_events(spark, sf_dir):
+    """Shuffle-key skew diagnostic on events.user_id: top-5 hottest keys,
+    shares, and the hottest/average skew factor."""
+    from dataqualitycontroltool_spark.operators.profiler import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id", top_k=5)
+
+
 def q_cross_source_overlap(spark, sf_dir):
     """Corpus-audit overlap matrix: distinct shared 8-grams between every
     source pair — the cross-source contamination mass."""
@@ -984,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans_documents": q_repeated_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
         "cross_source_overlap": q_cross_source_overlap,
+        "skew_report_events": q_skew_report_events,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1917,6 +1926,23 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "skew_report_events": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+              FROM events GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                     count(*) AS n_keys, max(cnt) AS mx
+              FROM c
+            )
+            SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                   round(cnt * 1.0 / n_rows, 6) AS share,
+                   n_rows, n_keys,
+                   round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
+            FROM c CROSS JOIN tot
+            ORDER BY cnt DESC, key ASC LIMIT 5
         """,
         "cross_source_overlap": r"""
             WITH tok AS (

@@ -267,3 +267,41 @@ def group_mode(df: DataFrame, group_keys: list[str], value_col: str) -> DataFram
         .where(F.col("_rk") == 1)
         .select(*group_keys, F.col(value_col).alias("consensus"), F.col("_n").alias("freq"))
     )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Shuffle-key skew diagnostic — the question every join/groupBy plan
+    at 10^12 rows must answer first: the ``top_k`` hottest keys with their
+    row share, plus corpus-wide totals and a ``skew_factor`` (hottest key
+    count over the uniform per-key average; 1.0 = perfectly uniform).  A
+    skew_factor far above the executor count says the key needs salting
+    (``pmod(xxhash64(id), n)``) or AQE skew-join before it is shuffled on.
+
+    Plan: ONE hash-agg on the key (map-side partial: the hot key itself is
+    reduced before the exchange, so diagnosing skew never suffers it),
+    1-row totals aggregate cross-joined back (the same pattern the numeric
+    profiler uses for its bounds), global top-k via TakeOrdered — no full
+    sort.  Ties break (count desc, key asc) per the repo contract."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("_mx"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            "n_rows",
+            "n_keys",
+            F.round(F.col("_mx") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+    )

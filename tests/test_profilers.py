@@ -179,3 +179,18 @@ def test_unknown_quartile_strategy_raises(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
     with pytest.raises(ValueError, match="distributed"):
         profiler.profile_numerical(df, "x", exact="distribued").collect()
+
+
+def test_skew_report_hot_key(spark):
+    from dataqualitycontroltool_spark.operators.profiler import skew_report
+    rows = [(i, "hot" if i < 60 else f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    out = skew_report(df, "key", top_k=3).collect()
+    assert len(out) == 3
+    top = out[0]
+    assert top.key == "hot" and top.cnt == 60 and top.share == 0.6
+    assert top.n_rows == 100 and top.n_keys == 41
+    # hottest 60 vs uniform 100/41 -> factor 24.6
+    assert top.skew_factor == round(60 * 41 / 100, 6)
+    # ties among the 1-count keys break on key asc
+    assert [r.key for r in out[1:]] == ["k60", "k61"]
