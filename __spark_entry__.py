@@ -652,6 +652,24 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_perplexity_backoff_docs(spark, sf_dir):
+    """Stupid-backoff trigram perplexity (Brants et al. 2007) with a
+    corpus-trained model: one trigram count table on the trusted
+    (lang='en') slice; bigram/unigram orders and all context totals
+    derive in-plan; every doc scores via four left equi-joins, no UDF."""
+    from dataqualitycontroltool_spark.operators import ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm.train_backoff_lm(
+        docs.where(F.col("lang") == "en"), "text", "doc_id"
+    )
+    return ngram_lm.score_perplexity_backoff(docs, lm, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+        "ppl",
+    )
+
+
 def q_skew_report_events(spark, sf_dir):
     """Shuffle-key skew diagnostic on events.user_id: top-5 hottest keys,
     shares, and the hottest/average skew factor."""
@@ -993,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans_documents": q_remove_spans_documents,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
+        "perplexity_backoff_docs": q_perplexity_backoff_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1926,6 +1945,60 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "perplexity_backoff_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+            ),
+            tri AS (
+              SELECT doc_id, lang,
+                     CASE WHEN i <= 1 THEN '<s>' ELSE t[i - 1] END AS c2,
+                     CASE WHEN i = 0 THEN '<s>' ELSE t[i] END AS c1,
+                     t[i + 1] AS token
+              FROM tok, unnest(range(0, len(t))) AS p(i)
+            ),
+            lm AS (
+              SELECT c2, c1, token, count(*) AS n
+              FROM tri WHERE lang = 'en' GROUP BY 1, 2, 3
+            ),
+            bi AS (SELECT c1, token, CAST(sum(n) AS BIGINT) AS n2
+                   FROM lm GROUP BY 1, 2),
+            ctx3 AS (SELECT c2, c1, CAST(sum(n) AS BIGINT) AS n_ctx3
+                     FROM lm GROUP BY 1, 2),
+            ctx2 AS (SELECT c1, CAST(sum(n2) AS BIGINT) AS n_ctx2
+                     FROM bi GROUP BY 1),
+            uni AS (SELECT token, CAST(sum(n) AS BIGINT) AS n1
+                    FROM lm GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n,
+                           count(DISTINCT token) AS v FROM lm),
+            sc AS (
+              SELECT g.doc_id,
+                     round(ln(
+                       CASE
+                         WHEN l.n IS NOT NULL THEN l.n * 1.0 / c3.n_ctx3
+                         WHEN b.n2 IS NOT NULL THEN 0.4 * b.n2 / c2t.n_ctx2
+                         WHEN u.n1 IS NOT NULL
+                           THEN 0.4 * 0.4 * u.n1 / tot.big_n
+                         ELSE 0.4 * 0.4 / (tot.big_n + tot.v)
+                       END), 9) AS lp
+              FROM tri g
+              LEFT JOIN lm l USING (c2, c1, token)
+              LEFT JOIN ctx3 c3 USING (c2, c1)
+              LEFT JOIN bi b USING (c1, token)
+              LEFT JOIN ctx2 c2t USING (c1)
+              LEFT JOIN uni u USING (token)
+              CROSS JOIN tot
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_trigrams,
+                     round(exp(-avg(lp)), 6) AS ppl
+              FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.ppl
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "skew_report_events": """
             WITH c AS (

@@ -143,3 +143,113 @@ def score_perplexity(
             "ppl",
         )
     )
+
+
+def _trigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, c2, c1, token) — one row per token with its two-token left
+    context, double-BOS-padded so every token occurrence yields exactly one
+    trigram (which is what lets lower orders derive by summation)."""
+    scorable = F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
+
+    def triples(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(t) - 1),
+            lambda i: F.struct(
+                F.when(i <= 1, F.lit(BOS)).otherwise(F.element_at(t, i - 1)).alias("c2"),
+                F.when(i == 0, F.lit(BOS)).otherwise(F.element_at(t, i)).alias("c1"),
+                F.element_at(t, i + 1).alias("token"),
+            ),
+        )
+
+    return (
+        df.where(scorable)
+        .select(
+            F.col(id_col),
+            F.explode(let(_token_arr(F.col(text_col)), triples)).alias("tg"),
+        )
+        .select(id_col, "tg.c2", "tg.c1", F.col("tg.token").alias("token"))
+    )
+
+
+def train_backoff_lm(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Trigram count table ``(c2, c1, token, n)`` — the ONLY artifact a
+    stupid-backoff model needs: because double-BOS padding gives every
+    token occurrence exactly one trigram, bigram counts are the sum over
+    ``c2`` and unigram counts the sum over ``(c2, c1)`` — the scorer
+    derives both in-plan, so the persisted/versioned model stays one
+    table.  One explode + one map-side-combined hash aggregate."""
+    return (
+        _trigram_rows(df, id_col, text_col)
+        .groupBy("c2", "c1", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def score_perplexity_backoff(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    cache: bool = True,
+) -> DataFrame:
+    """Stupid-backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation") trigram perplexity — the web-scale scheme:
+    score S(t|c2,c1) = n3/n_ctx3 when the trigram is seen, else
+    alpha * n2/n_ctx2 (bigram), else alpha^2 * n1/N (unigram MLE), else
+    alpha^2 / (N + V) for OOV tokens; no discounting, no normalization —
+    cheap and, at corpus scale, as good as Kneser-Ney.  Returns
+    (id, n_trigrams, ppl) with ``ppl = round(exp(-mean(round(ln S, 9))),
+    6)`` (round-9 term contract); unscorable docs get NULL ppl.
+
+    Plan: the four model tables (trigram + derived bigram/unigram/context
+    totals) are aggregates OF ``lm``; ``cache=True`` persists ``lm`` so
+    they share one materialization instead of re-deriving a corpus-built
+    model four times (caller owns unpersist — pass ``cache=False`` for a
+    parquet-backed model table, where the scan is already cheap).  The
+    probe side is one corpus explode + four left equi-joins on token
+    text, all inside whole-stage codegen — no UDF."""
+    if cache:
+        lm = lm.persist()
+    bi = lm.groupBy("c1", "token").agg(F.sum("n").alias("n2"))
+    ctx3 = lm.groupBy("c2", "c1").agg(F.sum("n").alias("n_ctx3"))
+    ctx2 = bi.groupBy("c1").agg(F.sum("n2").alias("n_ctx2"))
+    uni = lm.groupBy("token").agg(F.sum("n").alias("n1"))
+    tot = lm.agg(
+        F.sum("n").alias("big_n"), F.countDistinct("token").alias("v")
+    )
+
+    tg = _trigram_rows(df, id_col, text_col)
+    joined = (
+        tg.join(lm.withColumnRenamed("n", "n3"), ["c2", "c1", "token"], "left")
+        .join(ctx3, ["c2", "c1"], "left")
+        .join(bi, ["c1", "token"], "left")
+        .join(ctx2, ["c1"], "left")
+        .join(uni, ["token"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(F.col("n3").isNotNull(), F.col("n3") / F.col("n_ctx3"))
+        .when(F.col("n2").isNotNull(), a * F.col("n2") / F.col("n_ctx2"))
+        .when(F.col("n1").isNotNull(), a * a * F.col("n1") / F.col("big_n"))
+        .otherwise(a * a / (F.col("big_n") + F.col("v")))
+    )
+    scored = (
+        joined.select(F.col(id_col), F.round(F.log(score), 9).alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.exp(-F.avg("_lp")), 6).alias("ppl"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "ppl",
+        )
+    )

@@ -81,3 +81,91 @@ def test_plan_is_pure_catalyst(spark):
     plan = (ngram_lm.score_perplexity(df, lm)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan  # no UDF: the model is a table, joins score it
+
+
+# --------------------------------------------------------------------------
+# trigram stupid backoff
+# --------------------------------------------------------------------------
+
+
+def _ref_trigrams(text):
+    toks = text.strip().lower().split()
+    out = []
+    for i in range(len(toks)):
+        c2 = "<s>" if i <= 1 else toks[i - 2]
+        c1 = "<s>" if i == 0 else toks[i - 1]
+        out.append((c2, c1, toks[i]))
+    return out
+
+
+def _ref_backoff_score(text, tri_counts, alpha=0.4):
+    bi, ctx3, ctx2, uni = {}, {}, {}, {}
+    big_n, vocab = 0, set()
+    for (c2, c1, t), n in tri_counts.items():
+        bi[(c1, t)] = bi.get((c1, t), 0) + n
+        ctx3[(c2, c1)] = ctx3.get((c2, c1), 0) + n
+        ctx2[c1] = ctx2.get(c1, 0) + n
+        uni[t] = uni.get(t, 0) + n
+        big_n += n
+        vocab.add(t)
+    v = len(vocab)
+    lps = []
+    for c2, c1, t in _ref_trigrams(text):
+        if (c2, c1, t) in tri_counts:
+            s = tri_counts[(c2, c1, t)] / ctx3[(c2, c1)]
+        elif (c1, t) in bi:
+            s = alpha * bi[(c1, t)] / ctx2[c1]
+        elif t in uni:
+            s = alpha * alpha * uni[t] / big_n
+        else:
+            s = alpha * alpha / (big_n + v)
+        lps.append(round(math.log(s), 9))
+    return round(math.exp(-sum(lps) / len(lps)), 6)
+
+
+def test_backoff_train_counts_match_reference(spark):
+    train = ["the cat sat on the mat", "the cat ran away", "a dog sat"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(train)],
+                               "doc_id long, text string")
+    lm = ngram_lm.train_backoff_lm(df)
+    got = {(r.c2, r.c1, r.token): r.n for r in lm.collect()}
+    ref = {}
+    for t in train:
+        for tri in _ref_trigrams(t):
+            ref[tri] = ref.get(tri, 0) + 1
+    assert got == ref
+    assert got[("<s>", "<s>", "the")] == 2 and got[("<s>", "the", "cat")] == 2
+
+
+def test_backoff_score_matches_reference_all_levels(spark):
+    train = ["the cat sat on the mat", "the dog sat"]
+    tdf = spark.createDataFrame([(i, t) for i, t in enumerate(train)],
+                                "doc_id long, text string")
+    lm = ngram_lm.train_backoff_lm(tdf)
+    tri_counts = {(r.c2, r.c1, r.token): r.n for r in lm.collect()}
+    score_texts = [
+        "the cat sat on the mat",  # every trigram seen
+        "a cat sat",               # trigram unseen, bigram (cat,sat) seen
+        "mat dog the",             # only unigrams seen
+        "zebra quantum flux",      # full OOV floor
+        ("", None),                # unscorable
+    ]
+    rows = [(i, t) for i, t in enumerate(score_texts[:4])] + [(4, "   ")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_lm.score_perplexity_backoff(sdf, lm, cache=False).collect()}
+    for i, t in enumerate(score_texts[:4]):
+        assert out[i].ppl == _ref_backoff_score(t, tri_counts), t
+        assert out[i].n_trigrams == len(t.split())
+    assert out[4].ppl is None and out[4].n_trigrams == 0
+    # seen text scores lower perplexity than the OOV one
+    assert out[0].ppl < out[3].ppl
+
+
+def test_backoff_scorer_plan_has_no_udf(spark):
+    tdf = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    lm = ngram_lm.train_backoff_lm(tdf)
+    out = ngram_lm.score_perplexity_backoff(tdf, lm, cache=False)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
