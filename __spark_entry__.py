@@ -2015,7 +2015,7 @@ def oracle_sql() -> dict[str, str]:
                    n_rows, n_keys,
                    round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
             FROM c CROSS JOIN tot
-            ORDER BY cnt DESC, key ASC LIMIT 5
+            ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 5
         """,
         "cross_source_overlap": r"""
             WITH tok AS (

@@ -298,10 +298,12 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
             F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
             "n_rows",
             "n_keys",
-            F.round(F.col("_mx") * F.col("n_keys") / F.col("n_rows"), 6).alias(
-                "skew_factor"
-            ),
+            # cast before multiplying: bigint*bigint overflows (ANSI throw)
+            # exactly at the 10^12-row scale this diagnostic targets
+            F.round(
+                F.col("_mx").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_factor"),
         )
-        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
         .limit(top_k)
     )

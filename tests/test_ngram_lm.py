@@ -148,16 +148,18 @@ def test_backoff_score_matches_reference_all_levels(spark):
         "a cat sat",               # trigram unseen, bigram (cat,sat) seen
         "mat dog the",             # only unigrams seen
         "zebra quantum flux",      # full OOV floor
-        ("", None),                # unscorable
     ]
-    rows = [(i, t) for i, t in enumerate(score_texts[:4])] + [(4, "   ")]
+    # unscorable shapes: whitespace-only, empty string, NULL
+    rows = [(i, t) for i, t in enumerate(score_texts)] + [
+        (4, "   "), (5, ""), (6, None)]
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in
            ngram_lm.score_perplexity_backoff(sdf, lm, cache=False).collect()}
-    for i, t in enumerate(score_texts[:4]):
+    for i, t in enumerate(score_texts):
         assert out[i].ppl == _ref_backoff_score(t, tri_counts), t
         assert out[i].n_trigrams == len(t.split())
-    assert out[4].ppl is None and out[4].n_trigrams == 0
+    for i in (4, 5, 6):
+        assert out[i].ppl is None and out[i].n_trigrams == 0
     # seen text scores lower perplexity than the OOV one
     assert out[0].ppl < out[3].ppl
 

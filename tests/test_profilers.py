@@ -194,3 +194,14 @@ def test_skew_report_hot_key(spark):
     assert top.skew_factor == round(60 * 41 / 100, 6)
     # ties among the 1-count keys break on key asc
     assert [r.key for r in out[1:]] == ["k60", "k61"]
+
+
+def test_skew_report_null_keys_tiebreak(spark):
+    from dataqualitycontroltool_spark.operators.profiler import skew_report
+    rows = [(i, None if i % 2 else "a") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    out = skew_report(df, "key", top_k=2).collect()
+    # tie on cnt=5: real key sorts before NULL (NULLS LAST, matching oracle)
+    assert [r.key for r in out] == ["a", None]
+    r = out[0]
+    assert r.skew_factor == 1.0  # 5 hottest vs 10/2 average
