@@ -652,6 +652,17 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_temperature_sample_docs(spark, sf_dir):
+    """Temperature mixture sampling (tau=0.5) over documents.lang:
+    per-stratum keep fractions from the corpus's own counts, deterministic
+    md5 Bernoulli per doc."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    return corpus.temperature_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "lang", tau=0.5
+    )
+
+
 def q_perplexity_backoff_docs(spark, sf_dir):
     """Stupid-backoff trigram perplexity (Brants et al. 2007) with a
     corpus-trained model: one trigram count table on the trusted
@@ -1012,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
+        "temperature_sample_docs": q_temperature_sample_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1945,6 +1957,21 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "temperature_sample_docs": """
+            WITH c AS (SELECT lang, count(*) AS n_stratum
+                       FROM documents GROUP BY 1),
+            w AS (SELECT lang, n_stratum, pow(n_stratum, -0.5) AS wt FROM c),
+            mx AS (SELECT max(wt) AS m FROM w),
+            f AS (SELECT lang, n_stratum, round(wt / m, 6) AS keep_frac
+                  FROM w CROSS JOIN mx)
+            SELECT d.doc_id, d.lang, f.n_stratum, f.keep_frac,
+                   (f.keep_frac >= 1.0) OR
+                   (substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 8)
+                    < lpad(lower(hex(CAST(floor(f.keep_frac * 4294967296.0)
+                                          AS BIGINT))), 8, '0'))
+                   AS keep
+            FROM documents d JOIN f USING (lang)
         """,
         "perplexity_backoff_docs": r"""
             WITH tok AS (

@@ -399,3 +399,58 @@ def stratified_sample(
         else sample_keep_expr(F.col(id_col), default_frac, seed)
     )
     return df.where(expr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    tau: float = 0.5,
+    seed: str = "42",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the standard pretraining-mix
+    move (multilingual LMs sample source i proportional to n_i^tau,
+    tau < 1 flattening the head): per-stratum keep fractions are computed
+    IN-PLAN from the corpus's own counts, ``f_i = round(n_i^(tau-1) /
+    max_j n_j^(tau-1), 6)`` — the smallest stratum keeps everything, larger
+    ones downsample toward the tempered distribution — and each row decides
+    with the same deterministic md5-threshold Bernoulli as
+    :func:`stratified_sample` (no RNG state, resumable, engine-replayable).
+    The fraction-to-threshold conversion floors before casting because
+    double->bigint CAST truncates on Spark but ROUNDS on DuckDB.
+
+    Returns every row with its diagnosis — ``(id, stratum, n_stratum,
+    keep_frac, keep)`` — so the mix is auditable; callers filter on
+    ``keep``.  Plan: one hash-agg for counts + a 1-row max, joined back
+    (AQE broadcasts the small stratum table), then a pure projection —
+    the corpus is scanned twice (counts, decisions), never shuffled."""
+    counts = df.groupBy(F.col(strata_col).alias("_st")).agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    weights = counts.select(
+        "_st", "n_stratum", F.pow("n_stratum", F.lit(tau - 1.0)).alias("_wt")
+    )
+    mx = weights.agg(F.max("_wt").alias("_mx"))
+    fracs = weights.join(F.broadcast(mx)).select(
+        "_st", "n_stratum", F.round(F.col("_wt") / F.col("_mx"), 6).alias("keep_frac")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed))), 1, 8
+    )
+    thresh = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.col("keep_frac") * F.lit(4294967296.0)).cast("bigint"))
+        ),
+        8,
+        "0",
+    )
+    return (
+        df.join(fracs, df[strata_col] == fracs["_st"])
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            "n_stratum",
+            "keep_frac",
+            ((F.col("keep_frac") >= 1.0) | (h < thresh)).alias("keep"),
+        )
+    )

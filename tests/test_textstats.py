@@ -419,3 +419,27 @@ def test_select_representatives_plan_shape(spark):
     out = {(r.u, r.d): r.rep_id for r in
            corpus.select_representatives(df2, "id", ["u", "d"], "score").collect()}
     assert out == {("u", "d1"): 2, ("u", "d2"): 3}
+
+
+def test_temperature_sample_fractions_and_determinism(spark):
+    import math
+    from dataqualitycontroltool_spark.operators import corpus
+    # 3 strata with n = 100, 25, 4 -> tau=0.5 weights n^-0.5: the smallest
+    # stratum keeps everything; others downsample by sqrt(n_small/n)
+    rows = ([(i, "big") for i in range(100)]
+            + [(1000 + i, "mid") for i in range(25)]
+            + [(2000 + i, "tiny") for i in range(4)])
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = corpus.temperature_sample(df, "id", "src", tau=0.5).collect()
+    fracs = {r.src: r.keep_frac for r in out}
+    assert fracs["tiny"] == 1.0
+    assert fracs["mid"] == round(math.sqrt(4 / 25), 6)
+    assert fracs["big"] == round(math.sqrt(4 / 100), 6)
+    assert all(r.keep for r in out if r.src == "tiny")
+    # deterministic: same decisions on re-run
+    again = {(r.id, r.keep) for r in
+             corpus.temperature_sample(df, "id", "src", tau=0.5).collect()}
+    assert again == {(r.id, r.keep) for r in out}
+    # tau=1 keeps every stratum fully (uniform weights)
+    flat = corpus.temperature_sample(df, "id", "src", tau=1.0).collect()
+    assert all(r.keep and r.keep_frac == 1.0 for r in flat)
