@@ -652,6 +652,17 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split_docs(spark, sf_dir):
+    """Dedup-aware train/valid/test split: near-dup clusters (LSH + CC)
+    are the split unit, hashed through deterministic md5 bands
+    (0.9/0.05/0.05) so no near-copy straddles train and eval."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    return corpus.leakage_safe_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_temperature_sample_docs(spark, sf_dir):
     """Temperature mixture sampling (tau=0.5) over documents.lang:
     per-stratum keep fractions from the corpus's own counts, deterministic
@@ -1024,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
         "temperature_sample_docs": q_temperature_sample_docs,
+        "leakage_safe_split_docs": q_leakage_safe_split_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1957,6 +1969,55 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "leakage_safe_split_docs": f"""
+            WITH RECURSIVE {_SH_CTE},
+            mh AS (
+              SELECT doc_id, {_MINHASH_COLS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_ROWS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (
+              SELECT id_a, id_b, count(*) AS c
+              FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM common JOIN cnt ca ON ca.doc_id = id_a
+                          JOIN cnt cb ON cb.doc_id = id_b
+              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            ),
+            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+            lab AS (
+              SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT doc_id, comp,
+                   CASE
+                     WHEN substr(md5(CAST(comp AS VARCHAR) || '|42'), 1, 8)
+                          < 'e6666666' THEN 'train'
+                     WHEN substr(md5(CAST(comp AS VARCHAR) || '|42'), 1, 8)
+                          < 'f3333333' THEN 'valid'
+                     ELSE 'test'
+                   END AS split
+            FROM lab
         """,
         "temperature_sample_docs": """
             WITH c AS (SELECT lang, count(*) AS n_stratum

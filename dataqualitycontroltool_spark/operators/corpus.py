@@ -454,3 +454,57 @@ def temperature_sample(
             ((F.col("keep_frac") >= 1.0) | (h < thresh)).alias("keep"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: list[tuple[str, float]] = (
+        ("train", 0.9),
+        ("valid", 0.05),
+        ("test", 0.05),
+    ),
+    seed: str = "42",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Dedup-aware train/valid/test assignment: near-duplicate documents
+    must land in the SAME split (a near-copy of a training doc inside the
+    eval split is leakage), so the split key is the doc's near-dup CLUSTER
+    label — MinHash-LSH pairs -> pointer-jumping connected components;
+    singletons are their own cluster — hashed through the same
+    deterministic md5 band scheme as the samplers (first-8-hex threshold
+    bands over the cumulative fractions, in the given order).  Returns
+    ``(id, comp, split)`` for every row; resumable and engine-replayable,
+    no RNG state.
+
+    Scale shape: the cost IS the dedup (LSH + CC, both already
+    scale-audited); the assignment itself is one left join + a pure
+    projection.  At 10^12 rows you would persist the component table once
+    and reuse it for every split policy."""
+    from dataqualitycontroltool_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(
+        df, id_col, text_col, threshold=threshold, **lsh_kwargs
+    )
+    comps = dedup.connected_components(pairs.select("id_a", "id_b"))
+    labeled = df.select(F.col(id_col)).join(
+        comps, df[id_col] == comps["id"], "left"
+    ).select(df[id_col], F.coalesce("comp", df[id_col]).alias("comp"))
+
+    h = F.substring(
+        F.md5(F.concat(F.col("comp").cast("string"), F.lit("|" + seed))), 1, 8
+    )
+    cum, expr = 0.0, None
+    for name, frac in list(fractions)[:-1]:
+        cum += frac
+        t = F.lit(format(int(cum * (1 << 32)), "08x"))
+        expr = (
+            F.when(h < t, F.lit(name))
+            if expr is None
+            else expr.when(h < t, F.lit(name))
+        )
+    last = list(fractions)[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return labeled.select(id_col, "comp", split.alias("split"))

@@ -443,3 +443,24 @@ def test_temperature_sample_fractions_and_determinism(spark):
     # tau=1 keeps every stratum fully (uniform weights)
     flat = corpus.temperature_sample(df, "id", "src", tau=1.0).collect()
     assert all(r.keep and r.keep_frac == 1.0 for r in flat)
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus.leakage_safe_split(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.comp, set()).add(r.split)
+    # every near-dup cluster lands in exactly one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    multi = [c for c, _ in by_comp.items()
+             if sum(1 for r in out if r.comp == c) > 1]
+    assert multi  # the fixture corpus HAS near-dup clusters
+    splits = {r.split for r in out}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+    # deterministic re-run
+    again = {(r.doc_id, r.comp, r.split) for r in
+             corpus.leakage_safe_split(docs, "doc_id", "text").collect()}
+    assert again == {(r.doc_id, r.comp, r.split) for r in out}
