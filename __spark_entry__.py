@@ -652,6 +652,17 @@ def q_perplexity_gate_docs(spark, sf_dir):
     )
 
 
+def q_normalize_scores_docs(spark, sf_dir):
+    """Per-source z-score standardization of a quality score (n_chars as
+    the deterministic stand-in) so one cutoff is comparable across
+    sources."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    return corpus.normalize_scores(
+        load_table(spark, sf_dir, "documents"), "doc_id", "source", "n_chars"
+    )
+
+
 def q_leakage_safe_split_docs(spark, sf_dir):
     """Dedup-aware train/valid/test split: near-dup clusters (LSH + CC)
     are the split unit, hashed through deterministic md5 bands
@@ -1036,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
         "temperature_sample_docs": q_temperature_sample_docs,
         "leakage_safe_split_docs": q_leakage_safe_split_docs,
+        "normalize_scores_docs": q_normalize_scores_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
@@ -1969,6 +1981,17 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "normalize_scores_docs": """
+            WITH s AS (
+              SELECT source, avg(n_chars) AS m, stddev_samp(n_chars) AS sd
+              FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CASE WHEN s.sd IS NOT NULL AND s.sd <> 0
+                        THEN round((d.n_chars - s.m) / s.sd, 6)
+                   END AS z
+            FROM documents d JOIN s USING (source)
         """,
         "leakage_safe_split_docs": f"""
             WITH RECURSIVE {_SH_CTE},

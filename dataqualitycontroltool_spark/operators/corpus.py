@@ -508,3 +508,40 @@ def leakage_safe_split(
     last = list(fractions)[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return labeled.select(id_col, "comp", split.alias("split"))
+
+
+def normalize_scores(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group score standardization — quality scores (perplexity,
+    alignment, length heuristics) have different scales per source/domain,
+    so a single global threshold over- or under-filters some sources;
+    z-scoring within the group makes one cutoff comparable everywhere
+    (the CCNet per-language-percentile idea in z-score form).  Output
+    ``(id, group, score, z)`` with ``z = round((s - mean_g) / stddev_g,
+    6)``; NULL when the group has fewer than 2 scores or zero variance
+    (no meaningful standardization — the caller's rule decides).
+
+    Plan: one map-side-combinable hash-agg for the per-group moments,
+    joined back (AQE broadcasts the small group table) onto a pure
+    projection — the corpus shuffles nothing, the same shape as the
+    centroid-outlier signal."""
+    stats = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.avg(score_col).alias("_mean"),
+        F.stddev_samp(score_col).alias("_sd"),
+    )
+    return (
+        df.join(stats, df[group_col] == stats["_g"])
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            F.when(
+                F.col("_sd").isNotNull() & (F.col("_sd") != 0),
+                F.round((F.col(score_col) - F.col("_mean")) / F.col("_sd"), 6),
+            ).alias("z"),
+        )
+    )

@@ -464,3 +464,18 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     again = {(r.doc_id, r.comp, r.split) for r in
              corpus.leakage_safe_split(docs, "doc_id", "text").collect()}
     assert again == {(r.doc_id, r.comp, r.split) for r in out}
+
+
+def test_normalize_scores_z_and_degenerate_groups(spark):
+    import statistics
+    from dataqualitycontroltool_spark.operators import corpus
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 5.0),                      # singleton -> NULL z
+            (5, "c", 7.0), (6, "c", 7.0)]       # zero variance -> NULL z
+    df = spark.createDataFrame(rows, ["id", "grp", "s"])
+    out = {r.id: r.z for r in
+           corpus.normalize_scores(df, "id", "grp", "s").collect()}
+    sd = statistics.stdev([10.0, 20.0, 30.0])
+    assert out[1] == round((10 - 20) / sd, 6)
+    assert out[2] == 0.0 and out[3] == -out[1]
+    assert out[4] is None and out[5] is None and out[6] is None
