@@ -1991,7 +1991,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.sd IS NOT NULL AND s.sd <> 0
                         THEN round((d.n_chars - s.m) / s.sd, 6)
                    END AS z
-            FROM documents d JOIN s USING (source)
+            FROM documents d JOIN s ON d.source IS NOT DISTINCT FROM s.source
         """,
         "leakage_safe_split_docs": f"""
             WITH RECURSIVE {_SH_CTE},

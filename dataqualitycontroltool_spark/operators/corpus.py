@@ -353,6 +353,14 @@ def remove_boilerplate_lines(
     )
 
 
+def _hash8(key, seed: str = "42"):
+    """First 8 hex chars of md5(key|seed) — the package's ONE deterministic
+    Bernoulli hash (fixed-length lowercase hex: lexicographic == numeric
+    order).  Every sampler/split must use this helper so the replayability
+    contract stays bit-identical in one place."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + seed))), 1, 8)
+
+
 def sample_keep_expr(key, frac: float, seed: str = "42"):
     """Deterministic Bernoulli(frac) keep decision from a hash of the key:
     keep iff the first 8 hex chars of md5(key|seed) sort below the
@@ -366,8 +374,7 @@ def sample_keep_expr(key, frac: float, seed: str = "42"):
     if frac <= 0.0:
         return F.lit(False)
     thresh = format(int(frac * (1 << 32)), "08x")
-    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + seed))), 1, 8)
-    return h < F.lit(thresh)
+    return _hash8(key, seed) < F.lit(thresh)
 
 
 def stratified_sample(
@@ -421,11 +428,16 @@ def temperature_sample(
 
     Returns every row with its diagnosis — ``(id, stratum, n_stratum,
     keep_frac, keep)`` — so the mix is auditable; callers filter on
-    ``keep``.  Plan: one hash-agg for counts + a 1-row max, joined back
-    (AQE broadcasts the small stratum table), then a pure projection —
-    the corpus is scanned twice (counts, decisions), never shuffled."""
-    counts = df.groupBy(F.col(strata_col).alias("_st")).agg(
-        F.count(F.lit(1)).alias("n_stratum")
+    ``keep``.  Rows whose stratum is NULL are excluded from the count/
+    weight computation (an unknown domain must not become the normalizer)
+    and surface with NULL ``keep_frac`` and ``keep = false``.  Plan: one
+    hash-agg for counts + a 1-row max, joined back (AQE broadcasts the
+    small stratum table), then a pure projection — the corpus is scanned
+    twice (counts, decisions), never shuffled."""
+    counts = (
+        df.where(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("_st"))
+        .agg(F.count(F.lit(1)).alias("n_stratum"))
     )
     weights = counts.select(
         "_st", "n_stratum", F.pow("n_stratum", F.lit(tau - 1.0)).alias("_wt")
@@ -433,9 +445,6 @@ def temperature_sample(
     mx = weights.agg(F.max("_wt").alias("_mx"))
     fracs = weights.join(F.broadcast(mx)).select(
         "_st", "n_stratum", F.round(F.col("_wt") / F.col("_mx"), 6).alias("keep_frac")
-    )
-    h = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed))), 1, 8
     )
     thresh = F.lpad(
         F.lower(
@@ -445,13 +454,16 @@ def temperature_sample(
         "0",
     )
     return (
-        df.join(fracs, df[strata_col] == fracs["_st"])
+        df.join(fracs, df[strata_col] == fracs["_st"], "left")
         .select(
             F.col(id_col),
             F.col(strata_col),
             "n_stratum",
             "keep_frac",
-            ((F.col("keep_frac") >= 1.0) | (h < thresh)).alias("keep"),
+            F.coalesce(
+                (F.col("keep_frac") >= 1.0) | (_hash8(F.col(id_col), seed) < thresh),
+                F.lit(False),
+            ).alias("keep"),
         )
     )
 
@@ -485,25 +497,27 @@ def leakage_safe_split(
     and reuse it for every split policy."""
     from dataqualitycontroltool_spark.operators import dedup
 
-    pairs = dedup.minhash_lsh_pairs(
-        df, id_col, text_col, threshold=threshold, **lsh_kwargs
-    )
-    comps = dedup.connected_components(pairs.select("id_a", "id_b"))
+    comps = dedup.duplicate_clusters(
+        df.select(id_col, text_col), id_col, text_col, threshold, **lsh_kwargs
+    ).select(F.col(id_col).alias("_cid"), "comp")
     labeled = df.select(F.col(id_col)).join(
-        comps, df[id_col] == comps["id"], "left"
+        comps, df[id_col] == comps["_cid"], "left"
     ).select(df[id_col], F.coalesce("comp", df[id_col]).alias("comp"))
 
-    h = F.substring(
-        F.md5(F.concat(F.col("comp").cast("string"), F.lit("|" + seed))), 1, 8
-    )
+    h = _hash8(F.col("comp"), seed)
     cum, expr = 0.0, None
     for name, frac in list(fractions)[:-1]:
         cum += frac
-        t = F.lit(format(int(cum * (1 << 32)), "08x"))
+        # a band whose cumulative fraction reaches 1.0 must match
+        # unconditionally: int(1.0 * 2^32) is 9 hex chars and the 8-char
+        # prefix comparison would misroute everything >= 'f...f'
+        cond = F.lit(True) if cum >= 1.0 else h < F.lit(
+            format(int(cum * (1 << 32)), "08x")
+        )
         expr = (
-            F.when(h < t, F.lit(name))
+            F.when(cond, F.lit(name))
             if expr is None
-            else expr.when(h < t, F.lit(name))
+            else expr.when(cond, F.lit(name))
         )
     last = list(fractions)[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
@@ -523,7 +537,9 @@ def normalize_scores(
     (the CCNet per-language-percentile idea in z-score form).  Output
     ``(id, group, score, z)`` with ``z = round((s - mean_g) / stddev_g,
     6)``; NULL when the group has fewer than 2 scores or zero variance
-    (no meaningful standardization — the caller's rule decides).
+    (no meaningful standardization — the caller's rule decides).  A NULL
+    group is its own group (null-safe join), so every input row appears
+    in the output.
 
     Plan: one map-side-combinable hash-agg for the per-group moments,
     joined back (AQE broadcasts the small group table) onto a pure
@@ -534,7 +550,7 @@ def normalize_scores(
         F.stddev_samp(score_col).alias("_sd"),
     )
     return (
-        df.join(stats, df[group_col] == stats["_g"])
+        df.join(stats, df[group_col].eqNullSafe(stats["_g"]))
         .select(
             F.col(id_col),
             F.col(group_col),

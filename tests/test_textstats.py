@@ -479,3 +479,39 @@ def test_normalize_scores_z_and_degenerate_groups(spark):
     assert out[1] == round((10 - 20) / sd, 6)
     assert out[2] == 0.0 and out[3] == -out[1]
     assert out[4] is None and out[5] is None and out[6] is None
+
+
+def test_temperature_sample_null_stratum_policy(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+    rows = [(1, "a"), (2, "a"), (3, None), (4, "b")]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = {r.id: r for r in
+           corpus.temperature_sample(df, "id", "src", tau=0.5).collect()}
+    assert len(out) == 4                    # NULL-stratum rows surface
+    assert out[3].keep_frac is None and out[3].keep is False
+    # NULL stratum (n=1) must NOT become the max-weight normalizer:
+    # smallest REAL stratum 'b' keeps everything
+    assert out[4].keep_frac == 1.0 and out[4].keep
+
+
+def test_leakage_split_cumulative_one_band(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+    docs = spark.createDataFrame(
+        [(i, f"unique doc {i} words {i*7} here {i*13}") for i in range(40)],
+        ["id", "text"])
+    out = corpus.leakage_safe_split(
+        docs, "id", "text",
+        fractions=[("train", 0.95), ("valid", 0.05), ("test", 0.0)])
+    splits = {r.split for r in out.collect()}
+    assert "test" not in splits             # cum=1.0 band matches all
+
+
+def test_normalize_scores_null_group_is_own_group(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+    rows = [(1, None, 1.0), (2, None, 3.0), (3, "a", 5.0)]
+    df = spark.createDataFrame(rows, ["id", "grp", "s"])
+    out = {r.id: r for r in
+           corpus.normalize_scores(df, "id", "grp", "s").collect()}
+    assert len(out) == 3
+    assert out[1].z is not None and out[1].z == -out[2].z
+    assert out[3].z is None                 # singleton real group
