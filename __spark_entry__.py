@@ -864,6 +864,19 @@ def q_multimodal_image_features(spark, sf_dir):
     return similarity.brute_force_topk(emb, "vid", "embedding", qids, k=3)
 
 
+def q_image_channel_stats(spark, sf_dir):
+    """Dataset normalization constants over the deterministic seed-42
+    image batch: per-channel pixel mean/std from per-image two-moment
+    reductions + one global aggregate.  Golden VALUES oracle (codec path,
+    disclosed in GOLDEN_ORACLES); pinned against an independent numpy
+    aggregation in pytest."""
+    from dataqualitycontroltool_spark.graft.synth import generate_images
+    from dataqualitycontroltool_spark.operators import multimodal as mm
+
+    imgs = generate_images(spark, 200, n_partitions=4)
+    return mm.channel_stats(imgs, "bytes", "fmt")
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style cluster-then-prune over the embeddings table: fixed
     centroids (normalized embeddings of vec_id 0..7, same as the IVF
@@ -1036,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_docs": q_connected_components_docs,
         "sessionize_batch_events": q_sessionize_batch_events,
         "dicom_sequence_report": q_dicom_sequence_report,
+        "image_channel_stats": q_image_channel_stats,
         "dedup_semantic": q_dedup_semantic,
         "decontaminate_documents": q_decontaminate_documents,
         "text_repetition": q_text_repetition,
@@ -1367,6 +1381,7 @@ _MARKERS = {
 # yardstick comparisons (bench_duckdb.py / PLANS.md) exclude them
 GOLDEN_ORACLES = frozenset({
     "dicom_sequence_report",
+    "image_channel_stats",
     "multimodal_image_features",
     "infer_schema_documents",
 })
@@ -1981,6 +1996,17 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(p.repeated_tokens, 0) * 1.0
                          / greatest(len(t.toks), 1), 6) AS repeated_frac
             FROM tok t LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # disclosed VALUES golden (GOLDEN_ORACLES): the seed-42 synthetic
+        # image batch is deterministic, so the channel moments are pinned;
+        # an independent numpy aggregation re-derives them in pytest
+        "image_channel_stats": """
+            SELECT * FROM (VALUES (
+              CAST(200 AS BIGINT), CAST(6 AS BIGINT), CAST(615936 AS BIGINT),
+              0.493903, 0.497223, 0.498781,
+              0.231924, 0.231236, 0.231486
+            )) AS t(n_images, n_failed, n_pixels,
+                    mean_r, mean_g, mean_b, std_r, std_g, std_b)
         """,
         "normalize_scores_docs": """
             WITH s AS (

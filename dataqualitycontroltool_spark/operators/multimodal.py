@@ -264,3 +264,76 @@ def sample_frames(
     return df.select(
         F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
     ).mapInPandas(gen, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# dataset normalization constants (per-channel mean/std)
+# --------------------------------------------------------------------------
+
+_CHAN_SCHEMA = T.StructType(
+    [
+        T.StructField("n_px", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("ss", T.ArrayType(T.DoubleType())),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def channel_stats(df: DataFrame, bytes_col: str, fmt_col: str) -> DataFrame:
+    """Dataset normalization constants — the per-channel pixel mean/std a
+    vision training run bakes into its preprocessing: each image reduces
+    to 7 numbers inside the Arrow batch (pixel count + per-channel sum and
+    sum-of-squares — the two-moment trick, so no second pass), then ONE
+    map-side-combinable global aggregate.  Undecodable rows are counted
+    (``n_failed``) but excluded from the moments.  Output is a single row:
+    ``(n_images, n_failed, n_pixels, mean_r/g/b, std_r/g/b)``, round-6.
+
+    At 10^12 images this is the cheapest possible shape: decode is pure
+    map work, the shuffle carries 7 doubles per PARTITION (partial agg),
+    and nothing is collected but the final row."""
+
+    @F.pandas_udf(_CHAN_SCHEMA)
+    def _moments(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        out = []
+        for b, f in zip(data, fmt):
+            try:
+                img = codecs.decode(bytes(b), f).astype(np.float64) / 255.0
+                out.append(
+                    (
+                        int(img.shape[0] * img.shape[1]),
+                        img.sum(axis=(0, 1)).tolist(),
+                        (img * img).sum(axis=(0, 1)).tolist(),
+                        True,
+                    )
+                )
+            except Exception:
+                out.append((None, None, None, False))
+        return pd.DataFrame(out, columns=["n_px", "s", "ss", "ok"])
+
+    m = df.select(_moments(F.col(bytes_col), F.col(fmt_col)).alias("_m")).select(
+        "_m.n_px", "_m.s", "_m.ss", "_m.ok"
+    )
+    agg = m.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
+        F.sum("n_px").alias("n_pixels"),
+        *[F.sum(F.col("s")[c]).alias(f"_s{c}") for c in range(3)],
+        *[F.sum(F.col("ss")[c]).alias(f"_ss{c}") for c in range(3)],
+    )
+    names = ["r", "g", "b"]
+    means = [
+        F.round(F.col(f"_s{c}") / F.col("n_pixels"), 6).alias(f"mean_{names[c]}")
+        for c in range(3)
+    ]
+    stds = [
+        F.round(
+            F.sqrt(
+                F.col(f"_ss{c}") / F.col("n_pixels")
+                - (F.col(f"_s{c}") / F.col("n_pixels")) ** 2
+            ),
+            6,
+        ).alias(f"std_{names[c]}")
+        for c in range(3)
+    ]
+    return agg.select("n_images", "n_failed", "n_pixels", *means, *stds)

@@ -119,3 +119,31 @@ def test_image_features_match_independent_reimplementation(spark):
         data, fmt = raw[iid]
         expected = independent_features(codecs.decode(data, fmt))
         assert np.allclose(emb, expected, atol=1e-5), iid
+
+
+def test_channel_stats_match_independent_numpy(spark):
+    """r2-verdict-style golden strengthening: the Spark two-moment
+    aggregate is re-derived by an independent numpy pass over the same
+    decoded pixels (different aggregation code path)."""
+    import numpy as np
+    from dataqualitycontroltool_spark.graft import codecs
+    from dataqualitycontroltool_spark.graft.synth import generate_images
+    from dataqualitycontroltool_spark.operators import multimodal as mm
+
+    imgs = generate_images(spark, 60, n_partitions=2)
+    got = mm.channel_stats(imgs, "bytes", "fmt").collect()[0]
+    pixels, failed = [], 0
+    for r in imgs.select("bytes", "fmt").collect():
+        try:
+            pixels.append(codecs.decode(bytes(r.bytes), r.fmt)
+                          .astype(np.float64).reshape(-1, 3) / 255.0)
+        except Exception:
+            failed += 1
+    allpx = np.concatenate(pixels)
+    assert got.n_images == 60 and got.n_failed == failed
+    assert got.n_pixels == len(allpx)
+    want_mean = allpx.mean(axis=0)
+    want_std = allpx.std(axis=0)  # population, matching sum-sq formula
+    for c, name in enumerate("rgb"):
+        assert abs(got[f"mean_{name}"] - round(float(want_mean[c]), 6)) <= 1e-6
+        assert abs(got[f"std_{name}"] - round(float(want_std[c]), 6)) <= 1e-6
