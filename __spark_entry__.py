@@ -2003,8 +2003,9 @@ def oracle_sql() -> dict[str, str]:
         "image_channel_stats": """
             SELECT * FROM (VALUES (
               CAST(200 AS BIGINT), CAST(6 AS BIGINT), CAST(615936 AS BIGINT),
-              0.493903, 0.497223, 0.498781,
-              0.231924, 0.231236, 0.231486
+              CAST(0.493903 AS DOUBLE), CAST(0.497223 AS DOUBLE),
+              CAST(0.498781 AS DOUBLE), CAST(0.231924 AS DOUBLE),
+              CAST(0.231236 AS DOUBLE), CAST(0.231486 AS DOUBLE)
             )) AS t(n_images, n_failed, n_pixels,
                     mean_r, mean_g, mean_b, std_r, std_g, std_b)
         """,

@@ -64,6 +64,17 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _decoded_batch(data: pd.Series, fmt: pd.Series):
+    """Decode an Arrow batch row-by-row, yielding the (h, w, 3) array or
+    None for undecodable rows — the ONE place the per-row decode/except
+    contract lives for every image UDF in this module."""
+    for b, f in zip(data, fmt):
+        try:
+            yield codecs.decode(bytes(b), f)
+        except Exception:
+            yield None
+
+
 def image_resize(bytes_col: Column, fmt_col: Column, width: int, height: int) -> Column:
     """Decode → nearest-neighbor resize → re-encode (same format).
     Returns struct(bytes, w, h, ok); undecodable rows yield ok=false."""
@@ -71,13 +82,12 @@ def image_resize(bytes_col: Column, fmt_col: Column, width: int, height: int) ->
     @F.pandas_udf(RESIZE_SCHEMA)
     def _resize(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
         out = []
-        for b, f in zip(data, fmt):
-            try:
-                img = codecs.decode(bytes(b), f)
+        for img, f in zip(_decoded_batch(data, fmt), fmt):
+            if img is None:
+                out.append((None, None, None, False))
+            else:
                 r = _resize_nn(img, width, height)
                 out.append((bytearray(codecs.encode(r, f)), width, height, True))
-            except Exception:
-                out.append((None, None, None, False))
         df = pd.DataFrame(out, columns=["bytes", "w", "h", "ok"])
         df["w"] = df["w"].astype("Int32")
         df["h"] = df["h"].astype("Int32")
@@ -94,14 +104,12 @@ def image_features(bytes_col: Column, fmt_col: Column, grid: int = 4) -> Column:
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _feat(data: pd.Series, fmt: pd.Series) -> pd.Series:
-        out = []
-        for b, f in zip(data, fmt):
-            try:
-                img = codecs.decode(bytes(b), f)
-                out.append(_block_mean_features(img, grid).tolist())
-            except Exception:
-                out.append(None)
-        return pd.Series(out)
+        return pd.Series(
+            [
+                None if img is None else _block_mean_features(img, grid).tolist()
+                for img in _decoded_batch(data, fmt)
+            ]
+        )
 
     return _feat(bytes_col, fmt_col)
 
@@ -290,25 +298,26 @@ def channel_stats(df: DataFrame, bytes_col: str, fmt_col: str) -> DataFrame:
     ``(n_images, n_failed, n_pixels, mean_r/g/b, std_r/g/b)``, round-6.
 
     At 10^12 images this is the cheapest possible shape: decode is pure
-    map work, the shuffle carries 7 doubles per PARTITION (partial agg),
-    and nothing is collected but the final row."""
+    map work, the shuffle carries 9 values per PARTITION (row/failed/pixel
+    counts + 6 moment sums, partial agg), and nothing is collected but the
+    final row."""
 
     @F.pandas_udf(_CHAN_SCHEMA)
     def _moments(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
         out = []
-        for b, f in zip(data, fmt):
-            try:
-                img = codecs.decode(bytes(b), f).astype(np.float64) / 255.0
+        for img in _decoded_batch(data, fmt):
+            if img is None:
+                out.append((None, None, None, False))
+            else:
+                px = img.astype(np.float64) / 255.0
                 out.append(
                     (
-                        int(img.shape[0] * img.shape[1]),
-                        img.sum(axis=(0, 1)).tolist(),
-                        (img * img).sum(axis=(0, 1)).tolist(),
+                        int(px.shape[0] * px.shape[1]),
+                        px.sum(axis=(0, 1)).tolist(),
+                        (px * px).sum(axis=(0, 1)).tolist(),
                         True,
                     )
                 )
-            except Exception:
-                out.append((None, None, None, False))
         return pd.DataFrame(out, columns=["n_px", "s", "ss", "ok"])
 
     m = df.select(_moments(F.col(bytes_col), F.col(fmt_col)).alias("_m")).select(
@@ -316,8 +325,8 @@ def channel_stats(df: DataFrame, bytes_col: str, fmt_col: str) -> DataFrame:
     )
     agg = m.agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.sum((~F.col("ok")).cast("long")).alias("n_failed"),
-        F.sum("n_px").alias("n_pixels"),
+        F.coalesce(F.sum((~F.col("ok")).cast("long")), F.lit(0)).alias("n_failed"),
+        F.coalesce(F.sum("n_px"), F.lit(0)).alias("n_pixels"),
         *[F.sum(F.col("s")[c]).alias(f"_s{c}") for c in range(3)],
         *[F.sum(F.col("ss")[c]).alias(f"_ss{c}") for c in range(3)],
     )
@@ -327,10 +336,15 @@ def channel_stats(df: DataFrame, bytes_col: str, fmt_col: str) -> DataFrame:
         for c in range(3)
     ]
     stds = [
+        # clamp at 0: E[x²]−E[x]² cancels to ~−1e-17 for constant channels
+        # and sqrt(negative) would be NaN instead of 0
         F.round(
             F.sqrt(
-                F.col(f"_ss{c}") / F.col("n_pixels")
-                - (F.col(f"_s{c}") / F.col("n_pixels")) ** 2
+                F.greatest(
+                    F.lit(0.0),
+                    F.col(f"_ss{c}") / F.col("n_pixels")
+                    - (F.col(f"_s{c}") / F.col("n_pixels")) ** 2,
+                )
             ),
             6,
         ).alias(f"std_{names[c]}")

@@ -147,3 +147,19 @@ def test_channel_stats_match_independent_numpy(spark):
     for c, name in enumerate("rgb"):
         assert abs(got[f"mean_{name}"] - round(float(want_mean[c]), 6)) <= 1e-6
         assert abs(got[f"std_{name}"] - round(float(want_std[c]), 6)) <= 1e-6
+
+
+def test_channel_stats_constant_and_empty_inputs(spark):
+    import numpy as np
+    from dataqualitycontroltool_spark.graft import codecs
+    from dataqualitycontroltool_spark.operators import multimodal as mm
+
+    solid = codecs.encode(np.full((8, 8, 3), 128, dtype=np.uint8), "png")
+    df = spark.createDataFrame([(bytearray(solid), "png")] * 3, "bytes binary, fmt string")
+    r = mm.channel_stats(df, "bytes", "fmt").collect()[0]
+    assert r.std_r == 0.0 and r.std_g == 0.0 and r.std_b == 0.0  # not NaN
+    assert r.mean_r == round(128 / 255, 6)
+
+    empty = spark.createDataFrame([], "bytes binary, fmt string")
+    e = mm.channel_stats(empty, "bytes", "fmt").collect()[0]
+    assert e.n_images == 0 and e.n_failed == 0 and e.n_pixels == 0
