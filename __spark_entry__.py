@@ -792,6 +792,20 @@ def q_remove_spans_documents(spark, sf_dir):
     )
 
 
+def q_decontaminate_spans_docs(spark, sf_dir):
+    """Span-level decontamination: with src0's documents as the held-out
+    eval set, every >=8-token span of the remaining corpus that appears
+    verbatim in the eval set is cut (not the whole doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_contaminated_spans(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        k=8,
+    )
+
+
 def q_boilerplate_line_removal(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level line dedup: lines occurring in >=2
     distinct documents are boilerplate, removed from every document;
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_removal": q_boilerplate_line_removal,
         "repeated_spans_documents": q_repeated_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
+        "decontaminate_spans_docs": q_decontaminate_spans_docs,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
@@ -2154,6 +2169,79 @@ def oracle_sql() -> dict[str, str]:
                    round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
             FROM c CROSS JOIN tot
             ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 5
+        """,
+        "decontaminate_spans_docs": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE source <> 'src0'
+            ),
+            vocab AS (
+              SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS g
+              FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents WHERE source = 'src0'),
+                   unnest(range(1, len(toks) - 6)) AS t(i)
+              WHERE len(toks) >= 8
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM corpus),
+                   unnest(range(1, len(toks) - 6)) AS t(i)
+              WHERE len(toks) >= 8
+            ),
+            hits AS (SELECT doc_id, pos FROM grams JOIN vocab USING (g)),
+            brks AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS brk
+              FROM hits
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM brks
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+              FROM isl GROUP BY doc_id, grp
+            ),
+            rawtok AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS rt,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM corpus
+            ),
+            cov AS (
+              SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+              FROM spans
+            ),
+            expl AS (
+              SELECT doc_id, i AS pos, rt[i + 1] AS tk
+              FROM rawtok, unnest(range(0, n_tokens)) AS p(i)
+            ),
+            kept AS (
+              SELECT e.doc_id, e.pos, e.tk FROM expl e
+              ANTI JOIN cov c ON c.doc_id = e.doc_id AND c.pos = e.pos
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id
+            ),
+            covn AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+              FROM cov GROUP BY doc_id
+            )
+            SELECT r.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   r.n_tokens,
+                   coalesce(c.n_removed, 0) AS n_removed
+            FROM rawtok r
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN covn c USING (doc_id)
         """,
         "cross_source_overlap": r"""
             WITH tok AS (

@@ -924,6 +924,14 @@ def repeated_ngram_spans(
         .select("_g")
     )
     hits = grams.join(shared, "_g").select(id_col, "pos")
+    return _merge_islands(hits, id_col, k)
+
+
+def _merge_islands(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, pos) k-gram hit positions -> maximal covered spans: hits whose
+    k-token windows overlap or touch (gap <= k) merge; lag + running-sum
+    share one window sort, and the islands group-by reuses the hash(id)
+    exchange."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
         F.lit(1)
@@ -1003,6 +1011,15 @@ def remove_repeated_spans(
     kept unless some span covers it (``exists`` over the span array,
     JVM-side, O(tokens x spans/doc) per row with no further shuffle)."""
     spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key, cache)
+    return _cut_spans(df, spans, id_col, text_col)
+
+
+def _cut_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Excise ``spans`` (id, span_start, span_end token offsets) from the
+    raw whitespace split of ``df[text_col]`` — the shared removal tail for
+    repeated-span and contaminated-span dedup."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
@@ -1042,6 +1059,56 @@ def remove_repeated_spans(
             F.lit(0),
         ).cast("bigint").alias("n_removed"),
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Span-LEVEL decontamination (GPT-3/Pile appendix style): the maximal
+    corpus-token regions covered by k-grams that appear anywhere in the
+    evaluation set — :func:`decontamination_flags` answers IS this doc
+    contaminated; this answers WHERE, so :func:`remove_contaminated_spans`
+    can surgically cut the overlap instead of dropping the document.
+
+    Plan: corpus positional k-grams (one scan) semi-join the benchmark's
+    distinct shingle vocabulary (the eval set is small; AQE broadcasts it),
+    then the shared lag/running-sum island merge.  Fan-out is bounded by
+    the benchmark vocabulary — identical scale shape to
+    decontamination_flags."""
+    bench_col = bench_text_col or text_col
+    vocab = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(bench_col), k))).alias("_g")
+        ).distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), k))
+    ).select(id_col, "pos", F.col("col").alias("_g"))
+    hits = grams.join(vocab, "_g").select(id_col, "pos")
+    return _merge_islands(hits, id_col, k)
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Cut every eval-set-contaminated span (:func:`contaminated_spans`)
+    out of every corpus document, original case preserved — returns
+    ``(id, text_clean, n_tokens, n_removed)`` like
+    :func:`remove_repeated_spans`."""
+    spans = contaminated_spans(
+        corpus, benchmark, id_col, text_col, bench_text_col, k
+    )
+    return _cut_spans(corpus, spans, id_col, text_col)
 
 
 def cross_group_overlap(

@@ -557,3 +557,19 @@ def test_cross_group_overlap_counts(spark):
     # s1 vs s2: doc1's 4-grams at pos 0..4 all appear in doc2 (shifted) and
     # pos 0 also in doc3 — distinct shared grams = 5
     assert out == {("s1", "s2"): 5}
+
+
+def test_contaminated_spans_cut_only_eval_overlap(spark):
+    corpus = spark.createDataFrame([
+        (1, "intro words alpha beta gamma closing remark here"),
+        (2, "nothing matching the held out set at all"),
+    ], ["id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma and unrelated eval padding")], ["id", "text"])
+    out = {r.id: r for r in dedup.remove_contaminated_spans(
+        corpus, bench, "id", "text", k=3).collect()}
+    assert out[1].text_clean == "intro words closing remark here"
+    assert out[1].n_removed == 3 and out[1].n_tokens == 8
+    assert out[2].n_removed == 0 and out[2].text_clean == corpus.collect()[1].text
+    spans = dedup.contaminated_spans(corpus, bench, "id", "text", k=3).collect()
+    assert [(s.id, s.span_start, s.span_end) for s in spans] == [(1, 2, 4)]
