@@ -792,6 +792,16 @@ def q_remove_spans_documents(spark, sf_dir):
     )
 
 
+def q_text_hygiene_docs(spark, sf_dir):
+    """Encoding-damage signals per doc: control-char and U+FFFD counts,
+    printable ratio, clean flag — one scan, no shuffle."""
+    from dataqualitycontroltool_spark.operators import textstats
+
+    return textstats.hygiene_signals(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_decontaminate_spans_docs(spark, sf_dir):
     """Span-level decontamination: with src0's documents as the held-out
     eval set, every >=8-token span of the remaining corpus that appears
@@ -1071,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans_documents": q_repeated_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
         "decontaminate_spans_docs": q_decontaminate_spans_docs,
+        "text_hygiene_docs": q_text_hygiene_docs,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
@@ -2169,6 +2180,23 @@ def oracle_sql() -> dict[str, str]:
                    round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
             FROM c CROSS JOIN tot
             ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 5
+        """,
+        "text_hygiene_docs": r"""
+            SELECT doc_id,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+                        AS BIGINT) AS n_control,
+                   CAST(length(text) - length(regexp_replace(text, '�', '', 'g'))
+                        AS BIGINT) AS n_replacement,
+                   round(1.0 - ((length(text) - length(regexp_replace(text,
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')))
+                        + (length(text) - length(regexp_replace(text, '�', '', 'g'))))
+                        * 1.0 / greatest(length(text), 1), 6) AS printable_ratio,
+                   (length(text) = length(regexp_replace(text,
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')))
+                   AND (length(text) = length(regexp_replace(text, '�', '', 'g')))
+                   AS clean
+            FROM documents
         """,
         "decontaminate_spans_docs": r"""
             WITH corpus AS (

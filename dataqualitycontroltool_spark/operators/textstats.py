@@ -262,3 +262,30 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def hygiene_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Encoding-damage signals — the C4-style 'drop pages with broken
+    text' rule: per doc the count of C0/C1 control characters (tab and
+    newline excluded — they are structure, not damage), of U+FFFD
+    replacement characters (the residue of a bad charset transcode), and
+    a ``clean`` flag when both are zero.  Pure let-free Catalyst
+    projection (two regexp_replace length deltas), one scan, no shuffle.
+
+    Counts are char-length deltas so the cost is two regex passes per
+    row regardless of damage density; ``printable_ratio`` rounds to 6 for
+    cross-engine replay."""
+    n = F.length(F.col(text_col))
+    ctrl = n - F.length(
+        F.regexp_replace(F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    )
+    repl = n - F.length(F.regexp_replace(F.col(text_col), "�", ""))
+    return df.select(
+        F.col(id_col),
+        ctrl.cast("bigint").alias("n_control"),
+        repl.cast("bigint").alias("n_replacement"),
+        F.round(
+            F.lit(1.0) - (ctrl + repl) / F.greatest(n, F.lit(1)), 6
+        ).alias("printable_ratio"),
+        ((ctrl == 0) & (repl == 0)).alias("clean"),
+    )

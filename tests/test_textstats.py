@@ -515,3 +515,23 @@ def test_normalize_scores_null_group_is_own_group(spark):
     assert len(out) == 3
     assert out[1].z is not None and out[1].z == -out[2].z
     assert out[3].z is None                 # singleton real group
+
+
+def test_hygiene_signals_counts(spark):
+    from dataqualitycontroltool_spark.operators import textstats
+    rows = [
+        (1, "perfectly clean text"),
+        (2, "bad\x00byte and \x1f another"),
+        (3, "transcode residue � here �"),
+        (4, "tabs\tand\nnewlines are fine"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r.id: r for r in
+           textstats.hygiene_signals(df, "id", "text").collect()}
+    assert out[1].clean and out[1].n_control == 0
+    assert out[2].n_control == 2 and not out[2].clean
+    assert out[3].n_replacement == 2 and not out[3].clean
+    assert out[4].clean                      # tab/newline are structure
+    assert out[5].clean and out[5].printable_ratio == 1.0
+    assert out[2].printable_ratio == round(1 - 2 / len(rows[1][1]), 6)
