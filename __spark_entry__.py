@@ -2184,16 +2184,16 @@ def oracle_sql() -> dict[str, str]:
         "text_hygiene_docs": r"""
             SELECT doc_id,
                    CAST(length(text) - length(regexp_replace(text,
-                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{009f}]', '', 'g'))
                         AS BIGINT) AS n_control,
                    CAST(length(text) - length(regexp_replace(text, '�', '', 'g'))
                         AS BIGINT) AS n_replacement,
                    round(1.0 - ((length(text) - length(regexp_replace(text,
-                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')))
+                          '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{009f}]', '', 'g')))
                         + (length(text) - length(regexp_replace(text, '�', '', 'g'))))
                         * 1.0 / greatest(length(text), 1), 6) AS printable_ratio,
                    (length(text) = length(regexp_replace(text,
-                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')))
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{0080}-\x{009f}]', '', 'g')))
                    AND (length(text) = length(regexp_replace(text, '�', '', 'g')))
                    AS clean
             FROM documents

@@ -808,11 +808,7 @@ def decontamination_flags(
     ``bloom_filter_agg`` expression is not registered for SQL use — the
     explicit bitmap makes the pruning deterministic."""
     bench_col = bench_text_col or text_col
-    bench_shingles = (
-        benchmark.select(F.explode(F.array_distinct(
-            shingles(F.col(bench_col), k))).alias("shingle"))
-        .distinct()
-    )
+    bench_shingles = _shingle_vocab(benchmark, bench_col, k)
     corpus_shingles = shingle_table(corpus, id_col, text_col, k)
     if bloom_fpp is not None:
         m_bits = max(64, int(bloom_expected_items / bloom_fpp))
@@ -905,16 +901,7 @@ def repeated_ngram_spans(
     16 bytes/gram (still effectively exact at 10^12 grams);
     ``'xxhash64'`` halves that again but admits ~n^2/2^65 false shared
     grams — fine for a lossy pre-filter, not for the exact contract."""
-    if gram_key not in ("string", "md5", "xxhash64"):
-        raise ValueError(f"unknown gram_key {gram_key!r}")
-    key = {
-        "string": lambda c: c,
-        "md5": F.md5,
-        "xxhash64": F.xxhash64,
-    }[gram_key]
-    grams = df.select(
-        F.col(id_col), F.posexplode(shingles(F.col(text_col), k))
-    ).select(id_col, F.col("pos"), key(F.col("col")).alias("_g"))
+    grams = _positional_grams(df, id_col, text_col, k, gram_key)
     if cache:
         grams = grams.persist()
     shared = (
@@ -925,6 +912,38 @@ def repeated_ngram_spans(
     )
     hits = grams.join(shared, "_g").select(id_col, "pos")
     return _merge_islands(hits, id_col, k)
+
+
+def _shingle_vocab(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Distinct k-token shingle VOCABULARY of a corpus — one ``shingle``
+    column; shared by doc-level (decontamination_flags) and span-level
+    (contaminated_spans) decontamination so their gram semantics cannot
+    drift apart."""
+    return (
+        df.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+                "shingle"
+            )
+        ).distinct()
+    )
+
+
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int, gram_key: str = "string"
+) -> DataFrame:
+    """(id, pos, _g) — one row per k-gram with its 0-based token start;
+    the shared front end of every span operator.  ``gram_key`` picks the
+    join key representation (raw string / md5 / xxhash64)."""
+    if gram_key not in ("string", "md5", "xxhash64"):
+        raise ValueError(f"unknown gram_key {gram_key!r}")
+    key = {
+        "string": lambda c: c,
+        "md5": F.md5,
+        "xxhash64": F.xxhash64,
+    }[gram_key]
+    return df.select(
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), k))
+    ).select(id_col, F.col("pos"), key(F.col("col")).alias("_g"))
 
 
 def _merge_islands(hits: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -1081,14 +1100,10 @@ def contaminated_spans(
     the benchmark vocabulary — identical scale shape to
     decontamination_flags."""
     bench_col = bench_text_col or text_col
-    vocab = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles(F.col(bench_col), k))).alias("_g")
-        ).distinct()
+    vocab = _shingle_vocab(benchmark, bench_col, k).withColumnRenamed(
+        "shingle", "_g"
     )
-    grams = corpus.select(
-        F.col(id_col), F.posexplode(shingles(F.col(text_col), k))
-    ).select(id_col, "pos", F.col("col").alias("_g"))
+    grams = _positional_grams(corpus, id_col, text_col, k)
     hits = grams.join(vocab, "_g").select(id_col, "pos")
     return _merge_islands(hits, id_col, k)
 

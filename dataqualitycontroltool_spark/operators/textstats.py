@@ -266,8 +266,9 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def hygiene_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Encoding-damage signals — the C4-style 'drop pages with broken
-    text' rule: per doc the count of C0/C1 control characters (tab and
-    newline excluded — they are structure, not damage), of U+FFFD
+    text' rule: per doc the count of C0 + DEL + C1 control characters
+    (tab, LF and CR excluded — they are structure, not damage; C1
+    U+0080-U+009F is the archetypal CP-1252-mojibake residue), of U+FFFD
     replacement characters (the residue of a bad charset transcode), and
     a ``clean`` flag when both are zero.  Pure let-free Catalyst
     projection (two regexp_replace length deltas), one scan, no shuffle.
@@ -277,7 +278,11 @@ def hygiene_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cross-engine replay."""
     n = F.length(F.col(text_col))
     ctrl = n - F.length(
-        F.regexp_replace(F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+        F.regexp_replace(
+            F.col(text_col),
+            "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-]",
+            "",
+        )
     )
     repl = n - F.length(F.regexp_replace(F.col(text_col), "�", ""))
     return df.select(

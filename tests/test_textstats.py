@@ -535,3 +535,41 @@ def test_hygiene_signals_counts(spark):
     assert out[4].clean                      # tab/newline are structure
     assert out[5].clean and out[5].printable_ratio == 1.0
     assert out[2].printable_ratio == round(1 - 2 / len(rows[1][1]), 6)
+
+
+def test_hygiene_oracle_matches_spark_on_dirty_rows(spark):
+    """The sf corpora contain no damaged text, so the parity harness never
+    exercises the dirty path — replay the entry oracle in DuckDB on a
+    crafted dirty table and compare against the Spark operator."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as entry_mod
+    from dataqualitycontroltool_spark.operators import textstats
+
+    rows = [
+        (1, "clean text entirely"),
+        (2, "c0 damage CTRL0 and CTRL1 here"),
+        (3, "ffd residue REPL twice REPL"),
+        (4, "c1 mojibake C1A inside C1B text"),
+        (5, "tabs\tnewline\ncr\r fine"),
+    ]
+    rows = [
+        (i, t.replace("CTRL0", chr(0)).replace("CTRL1", chr(0x1F))
+             .replace("REPL", chr(0xFFFD))
+             .replace("C1A", chr(0x85)).replace("C1B", chr(0x92)))
+        for i, t in rows
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = sorted(con.execute(
+        entry_mod.oracle_sql()["text_hygiene_docs"]).fetchall())
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in
+                 textstats.hygiene_signals(sdf, "doc_id", "text").collect())
+    assert got == duck
+    by_id = {r[0]: r for r in got}
+    assert by_id[2][1] == 2 and not by_id[2][4]   # two C0 controls
+    assert by_id[3][2] == 2 and not by_id[3][4]   # two U+FFFD
+    assert by_id[4][1] == 2 and not by_id[4][4]   # two C1 controls
+    assert by_id[5][4]                            # tab/LF/CR are structure
