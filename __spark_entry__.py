@@ -792,6 +792,21 @@ def q_remove_spans_documents(spark, sf_dir):
     )
 
 
+def q_distribution_drift_lineitem(spark, sf_dir):
+    """PSI drift of l_extendedprice between the returnflag='N' snapshot
+    (reference) and returnflag='R' (current): per-bucket shares and the
+    population stability index."""
+    from dataqualitycontroltool_spark.operators.profiler import distribution_drift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return distribution_drift(
+        li.where(F.col("l_returnflag") == "N"),
+        li.where(F.col("l_returnflag") == "R"),
+        "l_extendedprice",
+        buckets=10,
+    )
+
+
 def q_text_hygiene_docs(spark, sf_dir):
     """Encoding-damage signals per doc: control-char and U+FFFD counts,
     printable ratio, clean flag — one scan, no shuffle."""
@@ -1082,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans_documents": q_remove_spans_documents,
         "decontaminate_spans_docs": q_decontaminate_spans_docs,
         "text_hygiene_docs": q_text_hygiene_docs,
+        "distribution_drift_lineitem": q_distribution_drift_lineitem,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
@@ -2180,6 +2196,60 @@ def oracle_sql() -> dict[str, str]:
                    round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
             FROM c CROSS JOIN tot
             ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 5
+        """,
+        "distribution_drift_lineitem": """
+            WITH b AS (
+              SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem WHERE l_returnflag = 'N'
+            ),
+            refc AS (
+              SELECT CASE WHEN hi = lo THEN 0
+                          ELSE least(greatest(CAST(floor(
+                                 (l_extendedprice - lo) / ((hi - lo) / 10))
+                               AS INT), 0), 9) END AS bucket,
+                     count(*) AS n
+              FROM lineitem CROSS JOIN b
+              WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL
+              GROUP BY 1
+            ),
+            refs AS (
+              SELECT bucket,
+                     greatest(round(n * 1.0 / (SELECT sum(n) FROM refc), 9),
+                              0.000001) AS ref_share
+              FROM refc
+            ),
+            curc AS (
+              SELECT CASE WHEN hi = lo THEN 0
+                          ELSE least(greatest(CAST(floor(
+                                 (l_extendedprice - lo) / ((hi - lo) / 10))
+                               AS INT), 0), 9) END AS bucket,
+                     count(*) AS n
+              FROM lineitem CROSS JOIN b
+              WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL
+              GROUP BY 1
+            ),
+            curs AS (
+              SELECT bucket,
+                     greatest(round(n * 1.0 / (SELECT sum(n) FROM curc), 9),
+                              0.000001) AS cur_share
+              FROM curc
+            ),
+            terms AS (
+              SELECT coalesce(r.bucket, c.bucket) AS bucket,
+                     coalesce(r.ref_share, 0.000001) AS ref_share,
+                     coalesce(c.cur_share, 0.000001) AS cur_share
+              FROM refs r FULL JOIN curs c ON r.bucket = c.bucket
+            ),
+            scored AS (
+              SELECT bucket, ref_share, cur_share,
+                     round((cur_share - ref_share) * ln(cur_share / ref_share),
+                           6) AS psi_term
+              FROM terms
+            )
+            SELECT bucket, ref_share, cur_share, psi_term,
+                   (SELECT round(sum(psi_term), 6) FROM scored) AS psi_total
+            FROM scored
         """,
         "text_hygiene_docs": r"""
             SELECT doc_id,

@@ -307,3 +307,71 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
         .limit(top_k)
     )
+
+
+def distribution_drift(
+    ref: DataFrame, cur: DataFrame, col: str, buckets: int = 10
+) -> DataFrame:
+    """Population-stability-index drift between two snapshots of a numeric
+    column — the monitoring question the reference's one-shot profiler
+    can't answer: has the distribution moved since the reference profile?
+    Equal-width buckets over the REFERENCE min/max (values outside clamp
+    to the edge buckets, so schema/unit regressions light up the tails);
+    per-bucket shares are floored at 1e-6 (PSI's standard zero-guard) and
+    each term is ``(p_cur - p_ref) * ln(p_cur / p_ref)``, rounded to 6.
+    Output one row per bucket: ``(bucket, ref_share, cur_share, psi_term,
+    psi_total)`` — psi_total repeated per row for one-pass thresholding
+    (rule of thumb: < 0.1 stable, > 0.25 drifted).
+
+    Plan: a 1-row min/max aggregate over the reference (broadcast), one
+    map-side-combinable bucket-count aggregate per side, a full outer
+    join on the bucket id (10-ish rows), and a windowless 1-row total
+    cross-joined back.  NULLs are excluded from both sides (they are the
+    filled-rate signal, not the shape signal)."""
+    bounds = ref.agg(
+        F.min(col).cast("double").alias("_lo"), F.max(col).cast("double").alias("_hi")
+    )
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        w = (F.col("_hi") - F.col("_lo")) / buckets
+        idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col(col) - F.col("_lo")) / w).cast("int"), F.lit(0)
+                ),
+                F.lit(buckets - 1),
+            )
+        )
+        cnt = (
+            df.where(F.col(col).isNotNull())
+            .join(F.broadcast(bounds))
+            .groupBy(idx.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        tot = cnt.agg(F.sum("_n").alias("_t"))
+        return cnt.join(F.broadcast(tot)).select(
+            "bucket",
+            F.greatest(
+                F.round(F.col("_n") / F.col("_t"), 9), F.lit(1e-6)
+            ).alias(name),
+        )
+
+    joined = (
+        shares(ref, "ref_share")
+        .join(shares(cur, "cur_share"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("ref_share", F.lit(1e-6)).alias("ref_share"),
+            F.coalesce("cur_share", F.lit(1e-6)).alias("cur_share"),
+        )
+        .withColumn(
+            "psi_term",
+            F.round(
+                (F.col("cur_share") - F.col("ref_share"))
+                * F.log(F.col("cur_share") / F.col("ref_share")),
+                6,
+            ),
+        )
+    )
+    total = joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    return joined.join(F.broadcast(total))

@@ -205,3 +205,25 @@ def test_skew_report_null_keys_tiebreak(spark):
     assert [r.key for r in out] == ["a", None]
     r = out[0]
     assert r.skew_factor == 1.0  # 5 hottest vs 10/2 average
+
+
+def test_distribution_drift_psi(spark):
+    import math
+    from dataqualitycontroltool_spark.operators.profiler import distribution_drift
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], ["v"])
+    same = spark.createDataFrame([(float(i % 10),) for i in range(50)], ["v"])
+    out = distribution_drift(ref, same, "v", buckets=10).collect()
+    assert all(r.psi_total == 0.0 for r in out)       # identical shape
+    # shifted distribution drifts: mass moves to the top bucket
+    shifted = spark.createDataFrame([(9.0,)] * 50, ["v"])
+    d = {r.bucket: r for r in
+         distribution_drift(ref, shifted, "v", buckets=10).collect()}
+    assert d[9].cur_share == 1.0 and d[9].ref_share == 0.1
+    want_term9 = round((1.0 - 0.1) * math.log(1.0 / 0.1), 6)
+    assert d[9].psi_term == want_term9
+    assert d[0].psi_total > 0.25                      # "drifted" threshold
+    # values outside the reference range clamp to the edge buckets
+    wild = spark.createDataFrame([(-100.0,), (1e6,)], ["v"])
+    w = {r.bucket for r in
+         distribution_drift(ref, wild, "v", buckets=10).collect()}
+    assert {0, 9} <= w
