@@ -807,6 +807,19 @@ def q_distribution_drift_lineitem(spark, sf_dir):
     )
 
 
+def q_category_drift_orders(spark, sf_dir):
+    """Categorical PSI of o_orderpriority between the even- and odd-key
+    halves of orders (expected stable)."""
+    from dataqualitycontroltool_spark.operators.profiler import category_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    return category_drift(
+        o.where(F.col("o_orderkey") % 2 == 0),
+        o.where(F.col("o_orderkey") % 2 == 1),
+        "o_orderpriority",
+    )
+
+
 def q_text_hygiene_docs(spark, sf_dir):
     """Encoding-damage signals per doc: control-char and U+FFFD counts,
     printable ratio, clean flag — one scan, no shuffle."""
@@ -1098,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans_docs": q_decontaminate_spans_docs,
         "text_hygiene_docs": q_text_hygiene_docs,
         "distribution_drift_lineitem": q_distribution_drift_lineitem,
+        "category_drift_orders": q_category_drift_orders,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
@@ -2196,6 +2210,56 @@ def oracle_sql() -> dict[str, str]:
                    round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
             FROM c CROSS JOIN tot
             ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 5
+        """,
+        "category_drift_orders": """
+            WITH refd AS (
+              SELECT o_orderpriority AS c FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            curd AS (
+              SELECT o_orderpriority AS c FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            topk AS (
+              SELECT c FROM refd WHERE c IS NOT NULL
+              GROUP BY c ORDER BY count(*) DESC, c ASC LIMIT 20
+            ),
+            refb AS (
+              SELECT CASE WHEN c IN (SELECT c FROM topk)
+                          THEN CAST(c AS VARCHAR) ELSE '<other>' END AS category,
+                     count(*) AS n
+              FROM refd GROUP BY 1
+            ),
+            refs AS (
+              SELECT category,
+                     greatest(round(n * 1.0 / (SELECT sum(n) FROM refb), 9),
+                              0.000001) AS ref_share
+              FROM refb
+            ),
+            curb AS (
+              SELECT CASE WHEN c IN (SELECT c FROM topk)
+                          THEN CAST(c AS VARCHAR) ELSE '<other>' END AS category,
+                     count(*) AS n
+              FROM curd GROUP BY 1
+            ),
+            curs AS (
+              SELECT category,
+                     greatest(round(n * 1.0 / (SELECT sum(n) FROM curb), 9),
+                              0.000001) AS cur_share
+              FROM curb
+            ),
+            scored AS (
+              SELECT coalesce(r.category, c.category) AS category,
+                     coalesce(r.ref_share, 0.000001) AS ref_share,
+                     coalesce(c.cur_share, 0.000001) AS cur_share,
+                     round((coalesce(c.cur_share, 0.000001)
+                            - coalesce(r.ref_share, 0.000001))
+                           * ln(coalesce(c.cur_share, 0.000001)
+                                / coalesce(r.ref_share, 0.000001)), 6)
+                       AS psi_term
+              FROM refs r FULL JOIN curs c ON r.category = c.category
+            )
+            SELECT category, ref_share, cur_share, psi_term,
+                   (SELECT round(sum(psi_term), 6) FROM scored) AS psi_total
+            FROM scored
         """,
         "distribution_drift_lineitem": """
             WITH b AS (

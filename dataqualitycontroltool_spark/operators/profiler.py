@@ -375,3 +375,65 @@ def distribution_drift(
     )
     total = joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
     return joined.join(F.broadcast(total))
+
+
+def category_drift(
+    ref: DataFrame, cur: DataFrame, col: str, top_k: int = 20
+) -> DataFrame:
+    """Categorical PSI — :func:`distribution_drift`'s companion for
+    nominal columns: shares per category over the reference's ``top_k``
+    most frequent values (ties → value asc, the repo's mode rule), with
+    everything else (including categories NEW in the current snapshot —
+    the classic drift smell) folded into the ``'<other>'`` bucket.  Same
+    1e-6 share floor and ``(p_cur - p_ref) * ln(p_cur / p_ref)`` terms,
+    one row per bucket with the repeated ``psi_total``.
+
+    Plan: one count aggregate per side, a TakeOrdered top-k on the
+    reference (bounded driver state: k strings), re-aggregation onto the
+    bucketed key, a tiny full-outer join.  NULL categories count into
+    ``'<other>'``."""
+    ref_counts = (
+        ref.groupBy(F.col(col).alias("_c")).agg(F.count(F.lit(1)).alias("_n"))
+    )
+    top = [
+        r._c
+        for r in ref_counts.where(F.col("_c").isNotNull())
+        .orderBy(F.col("_n").desc(), F.col("_c").asc())
+        .limit(top_k)
+        .collect()
+    ]
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        bucket = F.when(
+            F.col(col).isin(top), F.col(col).cast("string")
+        ).otherwise(F.lit("<other>"))
+        cnt = df.groupBy(bucket.alias("category")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        tot = cnt.agg(F.sum("_n").alias("_t"))
+        return cnt.join(F.broadcast(tot)).select(
+            "category",
+            F.greatest(F.round(F.col("_n") / F.col("_t"), 9), F.lit(1e-6)).alias(
+                name
+            ),
+        )
+
+    joined = (
+        shares(ref, "ref_share")
+        .join(shares(cur, "cur_share"), "category", "full")
+        .select(
+            "category",
+            F.coalesce("ref_share", F.lit(1e-6)).alias("ref_share"),
+            F.coalesce("cur_share", F.lit(1e-6)).alias("cur_share"),
+        )
+        .withColumn(
+            "psi_term",
+            F.round(
+                (F.col("cur_share") - F.col("ref_share"))
+                * F.log(F.col("cur_share") / F.col("ref_share")),
+                6,
+            ),
+        )
+    )
+    total = joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
+    return joined.join(F.broadcast(total))

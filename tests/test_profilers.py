@@ -227,3 +227,26 @@ def test_distribution_drift_psi(spark):
     w = {r.bucket for r in
          distribution_drift(ref, wild, "v", buckets=10).collect()}
     assert {0, 9} <= w
+
+
+def test_category_drift_new_category_lands_in_other(spark):
+    import math
+    from dataqualitycontroltool_spark.operators.profiler import category_drift
+    ref = spark.createDataFrame([("a",)] * 6 + [("b",)] * 4, ["c"])
+    cur = spark.createDataFrame([("a",)] * 3 + [("b",)] * 3 + [("zzz",)] * 4, ["c"])
+    out = {r.category: r for r in category_drift(ref, cur, "c").collect()}
+    assert out["a"].ref_share == 0.6 and out["a"].cur_share == 0.3
+    # the unseen category folds into <other>, with the floored ref share
+    assert out["<other>"].cur_share == 0.4 and out["<other>"].ref_share == 1e-6
+    assert out["a"].psi_total > 0.25
+    # NULL categories count into <other> too
+    cur2 = spark.createDataFrame([("a", ), (None, )], ["c"])
+    o2 = {r.category: r for r in category_drift(ref, cur2, "c").collect()}
+    assert o2["<other>"].cur_share == 0.5
+
+
+def test_category_drift_identical_is_zero(spark):
+    from dataqualitycontroltool_spark.operators.profiler import category_drift
+    ref = spark.createDataFrame([("x",)] * 5 + [("y",)] * 5, ["c"])
+    out = category_drift(ref, ref, "c").collect()
+    assert all(r.psi_total == 0.0 for r in out)
