@@ -2265,16 +2265,20 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
               SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
                      CAST(max(l_extendedprice) AS DOUBLE) AS hi
-              FROM lineitem WHERE l_returnflag = 'N'
+              FROM lineitem
+              WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL
+                AND NOT isnan(l_extendedprice)
             ),
             refc AS (
-              SELECT CASE WHEN hi = lo THEN 0
-                          ELSE least(greatest(CAST(floor(
-                                 (l_extendedprice - lo) / ((hi - lo) / 10))
-                               AS INT), 0), 9) END AS bucket,
+              SELECT CASE WHEN hi = lo THEN
+                            (CASE WHEN l_extendedprice = lo THEN 0 ELSE 9 END)
+                          ELSE CAST(least(greatest(floor(
+                                 (l_extendedprice - lo) / ((hi - lo) / 10)),
+                               0), 9) AS INT) END AS bucket,
                      count(*) AS n
               FROM lineitem CROSS JOIN b
               WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL
+                AND NOT isnan(l_extendedprice)
               GROUP BY 1
             ),
             refs AS (
@@ -2284,13 +2288,15 @@ def oracle_sql() -> dict[str, str]:
               FROM refc
             ),
             curc AS (
-              SELECT CASE WHEN hi = lo THEN 0
-                          ELSE least(greatest(CAST(floor(
-                                 (l_extendedprice - lo) / ((hi - lo) / 10))
-                               AS INT), 0), 9) END AS bucket,
+              SELECT CASE WHEN hi = lo THEN
+                            (CASE WHEN l_extendedprice = lo THEN 0 ELSE 9 END)
+                          ELSE CAST(least(greatest(floor(
+                                 (l_extendedprice - lo) / ((hi - lo) / 10)),
+                               0), 9) AS INT) END AS bucket,
                      count(*) AS n
               FROM lineitem CROSS JOIN b
               WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL
+                AND NOT isnan(l_extendedprice)
               GROUP BY 1
             ),
             curs AS (

@@ -309,58 +309,26 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
     )
 
 
-def distribution_drift(
-    ref: DataFrame, cur: DataFrame, col: str, buckets: int = 10
-) -> DataFrame:
-    """Population-stability-index drift between two snapshots of a numeric
-    column — the monitoring question the reference's one-shot profiler
-    can't answer: has the distribution moved since the reference profile?
-    Equal-width buckets over the REFERENCE min/max (values outside clamp
-    to the edge buckets, so schema/unit regressions light up the tails);
-    per-bucket shares are floored at 1e-6 (PSI's standard zero-guard) and
-    each term is ``(p_cur - p_ref) * ln(p_cur / p_ref)``, rounded to 6.
-    Output one row per bucket: ``(bucket, ref_share, cur_share, psi_term,
-    psi_total)`` — psi_total repeated per row for one-pass thresholding
-    (rule of thumb: < 0.1 stable, > 0.25 drifted).
-
-    Plan: a 1-row min/max aggregate over the reference (broadcast), one
-    map-side-combinable bucket-count aggregate per side, a full outer
-    join on the bucket id (10-ish rows), and a windowless 1-row total
-    cross-joined back.  NULLs are excluded from both sides (they are the
-    filled-rate signal, not the shape signal)."""
-    bounds = ref.agg(
-        F.min(col).cast("double").alias("_lo"), F.max(col).cast("double").alias("_hi")
+def _floored_shares(counts: DataFrame, key: str, name: str) -> DataFrame:
+    """(key, _n) counts -> (key, share) with the PSI zero-guard: shares
+    round to 9 then floor at 1e-6 so a vanished bucket still has a finite
+    log ratio."""
+    tot = counts.agg(F.sum("_n").alias("_t"))
+    return counts.join(F.broadcast(tot)).select(
+        key,
+        F.greatest(F.round(F.col("_n") / F.col("_t"), 9), F.lit(1e-6)).alias(name),
     )
 
-    def shares(df: DataFrame, name: str) -> DataFrame:
-        w = (F.col("_hi") - F.col("_lo")) / buckets
-        idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-            F.least(
-                F.greatest(
-                    F.floor((F.col(col) - F.col("_lo")) / w).cast("int"), F.lit(0)
-                ),
-                F.lit(buckets - 1),
-            )
-        )
-        cnt = (
-            df.where(F.col(col).isNotNull())
-            .join(F.broadcast(bounds))
-            .groupBy(idx.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("_n"))
-        )
-        tot = cnt.agg(F.sum("_n").alias("_t"))
-        return cnt.join(F.broadcast(tot)).select(
-            "bucket",
-            F.greatest(
-                F.round(F.col("_n") / F.col("_t"), 9), F.lit(1e-6)
-            ).alias(name),
-        )
 
+def _psi_table(ref_shares: DataFrame, cur_shares: DataFrame, key: str) -> DataFrame:
+    """Shared PSI tail for both drift operators: full-outer join on the
+    bucket key, 1e-6 floor for absent buckets, per-bucket
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)`` terms (round-6), and the total
+    cross-joined back so every row carries ``psi_total``."""
     joined = (
-        shares(ref, "ref_share")
-        .join(shares(cur, "cur_share"), "bucket", "full")
+        ref_shares.join(cur_shares, key, "full")
         .select(
-            "bucket",
+            key,
             F.coalesce("ref_share", F.lit(1e-6)).alias("ref_share"),
             F.coalesce("cur_share", F.lit(1e-6)).alias("cur_share"),
         )
@@ -377,21 +345,74 @@ def distribution_drift(
     return joined.join(F.broadcast(total))
 
 
+def distribution_drift(
+    ref: DataFrame, cur: DataFrame, col: str, buckets: int = 10
+) -> DataFrame:
+    """Population-stability-index drift between two snapshots of a numeric
+    column — the monitoring question the reference's one-shot profiler
+    can't answer: has the distribution moved since the reference profile?
+    Equal-width buckets over the REFERENCE min/max; values outside the
+    range clamp to the edge buckets (clamped BEFORE the int cast — an
+    extreme outlier would otherwise overflow under ANSI), so unit/schema
+    regressions light up the tails.  A constant reference (hi == lo)
+    degenerates to two buckets — equal-to-reference vs not — so drift
+    away from a constant still registers instead of reading 0.  NULL and
+    NaN values are excluded from BOTH sides (NaN poisons min/max and
+    bucket arithmetic; missingness is the filled-rate signal, not the
+    shape signal).  Output one row per bucket: ``(bucket, ref_share,
+    cur_share, psi_term, psi_total)`` — psi_total repeated per row for
+    one-pass thresholding (rule of thumb: < 0.1 stable, > 0.25 drifted).
+
+    Plan: a 1-row min/max aggregate over the reference (broadcast), one
+    map-side-combinable bucket-count aggregate per side, a full outer
+    join on the bucket id (10-ish rows), and a 1-row total cross-joined
+    back."""
+    usable = F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    bounds = ref.where(usable).agg(
+        F.min(col).cast("double").alias("_lo"),
+        F.max(col).cast("double").alias("_hi"),
+    )
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        w = (F.col("_hi") - F.col("_lo")) / buckets
+        idx = F.when(
+            F.col("_hi") == F.col("_lo"),
+            F.when(F.col(col) == F.col("_lo"), F.lit(0)).otherwise(
+                F.lit(buckets - 1)
+            ),
+        ).otherwise(
+            F.least(
+                F.greatest(F.floor((F.col(col) - F.col("_lo")) / w), F.lit(0)),
+                F.lit(buckets - 1),
+            ).cast("int")
+        )
+        cnt = (
+            df.where(usable)
+            .join(F.broadcast(bounds))
+            .groupBy(idx.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        return _floored_shares(cnt, "bucket", name)
+
+    return _psi_table(shares(ref, "ref_share"), shares(cur, "cur_share"), "bucket")
+
+
 def category_drift(
     ref: DataFrame, cur: DataFrame, col: str, top_k: int = 20
 ) -> DataFrame:
     """Categorical PSI — :func:`distribution_drift`'s companion for
     nominal columns: shares per category over the reference's ``top_k``
     most frequent values (ties → value asc, the repo's mode rule), with
-    everything else (including categories NEW in the current snapshot —
-    the classic drift smell) folded into the ``'<other>'`` bucket.  Same
-    1e-6 share floor and ``(p_cur - p_ref) * ln(p_cur / p_ref)`` terms,
-    one row per bucket with the repeated ``psi_total``.
+    everything else (NULLs, the long tail, and categories NEW in the
+    current snapshot — the classic drift smell) folded into the
+    ``'<other>'`` bucket.  Same floored-share PSI terms and repeated
+    ``psi_total`` as the numeric variant.
 
-    Plan: one count aggregate per side, a TakeOrdered top-k on the
-    reference (bounded driver state: k strings), re-aggregation onto the
-    bucketed key, a tiny full-outer join.  NULL categories count into
-    ``'<other>'``."""
+    Plan: ONE count aggregate over the reference serves both the
+    TakeOrdered top-k (bounded driver state: k strings) and — re-bucketed,
+    k+tail rows — the reference shares, so the reference is scanned once;
+    the current side is one count aggregate; then the tiny full-outer PSI
+    join."""
     ref_counts = (
         ref.groupBy(F.col(col).alias("_c")).agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -403,37 +424,21 @@ def category_drift(
         .collect()
     ]
 
-    def shares(df: DataFrame, name: str) -> DataFrame:
-        bucket = F.when(
-            F.col(col).isin(top), F.col(col).cast("string")
-        ).otherwise(F.lit("<other>"))
-        cnt = df.groupBy(bucket.alias("category")).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        tot = cnt.agg(F.sum("_n").alias("_t"))
-        return cnt.join(F.broadcast(tot)).select(
-            "category",
-            F.greatest(F.round(F.col("_n") / F.col("_t"), 9), F.lit(1e-6)).alias(
-                name
-            ),
-        )
+    def bucketize(c):
+        return F.when(c.isin(top), c.cast("string")).otherwise(F.lit("<other>"))
 
-    joined = (
-        shares(ref, "ref_share")
-        .join(shares(cur, "cur_share"), "category", "full")
-        .select(
-            "category",
-            F.coalesce("ref_share", F.lit(1e-6)).alias("ref_share"),
-            F.coalesce("cur_share", F.lit(1e-6)).alias("cur_share"),
-        )
-        .withColumn(
-            "psi_term",
-            F.round(
-                (F.col("cur_share") - F.col("ref_share"))
-                * F.log(F.col("cur_share") / F.col("ref_share")),
-                6,
-            ),
-        )
+    refs = _floored_shares(
+        ref_counts.groupBy(bucketize(F.col("_c")).alias("category")).agg(
+            F.sum("_n").alias("_n")
+        ),
+        "category",
+        "ref_share",
     )
-    total = joined.agg(F.round(F.sum("psi_term"), 6).alias("psi_total"))
-    return joined.join(F.broadcast(total))
+    curs = _floored_shares(
+        cur.groupBy(bucketize(F.col(col)).alias("category")).agg(
+            F.count(F.lit(1)).alias("_n")
+        ),
+        "category",
+        "cur_share",
+    )
+    return _psi_table(refs, curs, "category")

@@ -250,3 +250,24 @@ def test_category_drift_identical_is_zero(spark):
     ref = spark.createDataFrame([("x",)] * 5 + [("y",)] * 5, ["c"])
     out = category_drift(ref, ref, "c").collect()
     assert all(r.psi_total == 0.0 for r in out)
+
+
+def test_distribution_drift_hardening(spark):
+    from dataqualitycontroltool_spark.operators.profiler import distribution_drift
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], ["v"])
+    # extreme out-of-range current value: clamps, no ANSI overflow
+    wild = spark.createDataFrame([(3.0e9,), (-3.0e9,)], ["v"])
+    w = {r.bucket for r in distribution_drift(ref, wild, "v").collect()}
+    assert {0, 9} <= w
+    # NaN excluded on both sides instead of poisoning bounds/buckets
+    nanref = spark.createDataFrame(
+        [(float("nan"),)] + [(float(i % 10),) for i in range(100)], ["v"])
+    nancur = spark.createDataFrame([(float("nan"),), (5.0,)], ["v"])
+    d = {r.bucket: r for r in
+         distribution_drift(nanref, nancur, "v").collect()}
+    assert d[5].cur_share == 1.0 and d[0].ref_share == 0.1
+    # constant reference: drift away from the constant registers
+    const = spark.createDataFrame([(5.0,)] * 10, ["v"])
+    moved = spark.createDataFrame([(500.0,)] * 10, ["v"])
+    m = {r.bucket: r for r in distribution_drift(const, moved, "v").collect()}
+    assert m[9].cur_share == 1.0 and m[0].psi_total > 0.25
