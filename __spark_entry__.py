@@ -807,6 +807,18 @@ def q_distribution_drift_lineitem(spark, sf_dir):
     )
 
 
+def q_completeness_drift_orders(spark, sf_dir):
+    """Filled-rate drift per column between the even/odd-key halves of
+    orders (one aggregate per side, all columns in one pass)."""
+    from dataqualitycontroltool_spark.operators.profiler import completeness_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    return completeness_drift(
+        o.where(F.col("o_orderkey") % 2 == 0),
+        o.where(F.col("o_orderkey") % 2 == 1),
+    )
+
+
 def q_category_drift_orders(spark, sf_dir):
     """Categorical PSI of o_orderpriority between the even- and odd-key
     halves of orders (expected stable)."""
@@ -1112,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hygiene_docs": q_text_hygiene_docs,
         "distribution_drift_lineitem": q_distribution_drift_lineitem,
         "category_drift_orders": q_category_drift_orders,
+        "completeness_drift_orders": q_completeness_drift_orders,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report_events": q_skew_report_events,
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
@@ -2210,6 +2223,75 @@ def oracle_sql() -> dict[str, str]:
                    round(mx * n_keys * 1.0 / n_rows, 6) AS skew_factor
             FROM c CROSS JOIN tot
             ORDER BY cnt DESC, key ASC NULLS LAST LIMIT 5
+        """,
+        "completeness_drift_orders": """
+            WITH r AS (
+              SELECT count(*) AS _total,
+                     CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND trim(CAST(o_orderkey AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+                     CAST(sum(CASE WHEN o_custkey IS NOT NULL AND trim(CAST(o_custkey AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+                     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+                     CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND trim(CAST(o_totalprice AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+                     CAST(sum(CASE WHEN o_orderdate IS NOT NULL AND trim(CAST(o_orderdate AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+                     CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            c2 AS (
+              SELECT count(*) AS _total,
+                     CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND trim(CAST(o_orderkey AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+                     CAST(sum(CASE WHEN o_custkey IS NOT NULL AND trim(CAST(o_custkey AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+                     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND trim(CAST(o_orderstatus AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+                     CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND trim(CAST(o_totalprice AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+                     CAST(sum(CASE WHEN o_orderdate IS NOT NULL AND trim(CAST(o_orderdate AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+                     CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND trim(CAST(o_orderpriority AS VARCHAR)) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 1
+            )
+              SELECT 'o_orderkey' AS column,
+                     round(r.o_orderkey * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(c2.o_orderkey * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(c2.o_orderkey * 1.0 / greatest(c2._total, 1), 6)
+                           - round(r.o_orderkey * 1.0 / greatest(r._total, 1), 6), 6)
+                       AS delta
+              FROM r CROSS JOIN c2
+              UNION ALL
+              SELECT 'o_custkey' AS column,
+                     round(r.o_custkey * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(c2.o_custkey * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(c2.o_custkey * 1.0 / greatest(c2._total, 1), 6)
+                           - round(r.o_custkey * 1.0 / greatest(r._total, 1), 6), 6)
+                       AS delta
+              FROM r CROSS JOIN c2
+              UNION ALL
+              SELECT 'o_orderstatus' AS column,
+                     round(r.o_orderstatus * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(c2.o_orderstatus * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(c2.o_orderstatus * 1.0 / greatest(c2._total, 1), 6)
+                           - round(r.o_orderstatus * 1.0 / greatest(r._total, 1), 6), 6)
+                       AS delta
+              FROM r CROSS JOIN c2
+              UNION ALL
+              SELECT 'o_totalprice' AS column,
+                     round(r.o_totalprice * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(c2.o_totalprice * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(c2.o_totalprice * 1.0 / greatest(c2._total, 1), 6)
+                           - round(r.o_totalprice * 1.0 / greatest(r._total, 1), 6), 6)
+                       AS delta
+              FROM r CROSS JOIN c2
+              UNION ALL
+              SELECT 'o_orderdate' AS column,
+                     round(r.o_orderdate * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(c2.o_orderdate * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(c2.o_orderdate * 1.0 / greatest(c2._total, 1), 6)
+                           - round(r.o_orderdate * 1.0 / greatest(r._total, 1), 6), 6)
+                       AS delta
+              FROM r CROSS JOIN c2
+              UNION ALL
+              SELECT 'o_orderpriority' AS column,
+                     round(r.o_orderpriority * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(c2.o_orderpriority * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(c2.o_orderpriority * 1.0 / greatest(c2._total, 1), 6)
+                           - round(r.o_orderpriority * 1.0 / greatest(r._total, 1), 6), 6)
+                       AS delta
+              FROM r CROSS JOIN c2
         """,
         "category_drift_orders": """
             WITH refd AS (

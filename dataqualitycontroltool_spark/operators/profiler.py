@@ -442,3 +442,40 @@ def category_drift(
         "cur_share",
     )
     return _psi_table(refs, curs, "category")
+
+
+def completeness_drift(
+    ref: DataFrame, cur: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Filled-rate drift — the monitoring trio's third leg (shape: A14,
+    categories: A15, missingness: this): per column, the share of rows
+    that are non-NULL and non-blank (the validation plan's missing rule)
+    in each snapshot and the delta.  A pipeline upstream dropping a field
+    shows up here before any value-level check fires.
+
+    Plan: ONE aggregate per side computing every column's filled count in
+    the same pass (no per-column scans), unpivoted driver-side from a
+    1-row result — O(columns) driver state."""
+    cols = list(cols or [c for c in ref.columns if c in set(cur.columns)])
+
+    def filled_row(df: DataFrame):
+        aggs = [F.count(F.lit(1)).alias("_total")] + [
+            F.sum(
+                (
+                    F.col(c).isNotNull()
+                    & (F.trim(F.col(c).cast("string")) != "")
+                ).cast("long")
+            ).alias(c)
+            for c in cols
+        ]
+        return df.agg(*aggs).first()
+
+    r, c = filled_row(ref), filled_row(cur)
+    rows = []
+    for name in cols:
+        rp = round((r[name] or 0) / max(r["_total"], 1), 6)
+        cp = round((c[name] or 0) / max(c["_total"], 1), 6)
+        rows.append((name, rp, cp, round(cp - rp, 6)))
+    return ref.sparkSession.createDataFrame(
+        rows, "column string, ref_filled double, cur_filled double, delta double"
+    )

@@ -271,3 +271,18 @@ def test_distribution_drift_hardening(spark):
     moved = spark.createDataFrame([(500.0,)] * 10, ["v"])
     m = {r.bucket: r for r in distribution_drift(const, moved, "v").collect()}
     assert m[9].cur_share == 1.0 and m[0].psi_total > 0.25
+
+
+def test_completeness_drift_detects_dropped_field(spark):
+    from dataqualitycontroltool_spark.operators.profiler import completeness_drift
+    ref = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, "w", 4.0)],
+        ["id", "s", "v"])
+    cur = spark.createDataFrame(
+        [(5, None, 5.0), (6, "", 6.0), (7, "q", None), (8, "r", 8.0)],
+        "id long, s string, v double")
+    out = {r.column: r for r in completeness_drift(ref, cur).collect()}
+    assert out["id"].delta == 0.0
+    assert out["s"].ref_filled == 1.0 and out["s"].cur_filled == 0.5
+    assert out["s"].delta == -0.5            # NULL and blank both missing
+    assert out["v"].delta == -0.25
