@@ -2246,50 +2246,50 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 2 = 1
             )
               SELECT 'o_orderkey' AS column,
-                     round(r.o_orderkey * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
-                     round(c2.o_orderkey * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
-                     round(round(c2.o_orderkey * 1.0 / greatest(c2._total, 1), 6)
-                           - round(r.o_orderkey * 1.0 / greatest(r._total, 1), 6), 6)
+                     round(coalesce(r.o_orderkey, 0) * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(coalesce(c2.o_orderkey, 0) * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(coalesce(c2.o_orderkey, 0) * 1.0 / greatest(c2._total, 1), 6)
+                           - round(coalesce(r.o_orderkey, 0) * 1.0 / greatest(r._total, 1), 6), 6)
                        AS delta
               FROM r CROSS JOIN c2
               UNION ALL
               SELECT 'o_custkey' AS column,
-                     round(r.o_custkey * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
-                     round(c2.o_custkey * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
-                     round(round(c2.o_custkey * 1.0 / greatest(c2._total, 1), 6)
-                           - round(r.o_custkey * 1.0 / greatest(r._total, 1), 6), 6)
+                     round(coalesce(r.o_custkey, 0) * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(coalesce(c2.o_custkey, 0) * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(coalesce(c2.o_custkey, 0) * 1.0 / greatest(c2._total, 1), 6)
+                           - round(coalesce(r.o_custkey, 0) * 1.0 / greatest(r._total, 1), 6), 6)
                        AS delta
               FROM r CROSS JOIN c2
               UNION ALL
               SELECT 'o_orderstatus' AS column,
-                     round(r.o_orderstatus * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
-                     round(c2.o_orderstatus * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
-                     round(round(c2.o_orderstatus * 1.0 / greatest(c2._total, 1), 6)
-                           - round(r.o_orderstatus * 1.0 / greatest(r._total, 1), 6), 6)
+                     round(coalesce(r.o_orderstatus, 0) * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(coalesce(c2.o_orderstatus, 0) * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(coalesce(c2.o_orderstatus, 0) * 1.0 / greatest(c2._total, 1), 6)
+                           - round(coalesce(r.o_orderstatus, 0) * 1.0 / greatest(r._total, 1), 6), 6)
                        AS delta
               FROM r CROSS JOIN c2
               UNION ALL
               SELECT 'o_totalprice' AS column,
-                     round(r.o_totalprice * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
-                     round(c2.o_totalprice * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
-                     round(round(c2.o_totalprice * 1.0 / greatest(c2._total, 1), 6)
-                           - round(r.o_totalprice * 1.0 / greatest(r._total, 1), 6), 6)
+                     round(coalesce(r.o_totalprice, 0) * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(coalesce(c2.o_totalprice, 0) * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(coalesce(c2.o_totalprice, 0) * 1.0 / greatest(c2._total, 1), 6)
+                           - round(coalesce(r.o_totalprice, 0) * 1.0 / greatest(r._total, 1), 6), 6)
                        AS delta
               FROM r CROSS JOIN c2
               UNION ALL
               SELECT 'o_orderdate' AS column,
-                     round(r.o_orderdate * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
-                     round(c2.o_orderdate * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
-                     round(round(c2.o_orderdate * 1.0 / greatest(c2._total, 1), 6)
-                           - round(r.o_orderdate * 1.0 / greatest(r._total, 1), 6), 6)
+                     round(coalesce(r.o_orderdate, 0) * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(coalesce(c2.o_orderdate, 0) * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(coalesce(c2.o_orderdate, 0) * 1.0 / greatest(c2._total, 1), 6)
+                           - round(coalesce(r.o_orderdate, 0) * 1.0 / greatest(r._total, 1), 6), 6)
                        AS delta
               FROM r CROSS JOIN c2
               UNION ALL
               SELECT 'o_orderpriority' AS column,
-                     round(r.o_orderpriority * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
-                     round(c2.o_orderpriority * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
-                     round(round(c2.o_orderpriority * 1.0 / greatest(c2._total, 1), 6)
-                           - round(r.o_orderpriority * 1.0 / greatest(r._total, 1), 6), 6)
+                     round(coalesce(r.o_orderpriority, 0) * 1.0 / greatest(r._total, 1), 6) AS ref_filled,
+                     round(coalesce(c2.o_orderpriority, 0) * 1.0 / greatest(c2._total, 1), 6) AS cur_filled,
+                     round(round(coalesce(c2.o_orderpriority, 0) * 1.0 / greatest(c2._total, 1), 6)
+                           - round(coalesce(r.o_orderpriority, 0) * 1.0 / greatest(r._total, 1), 6), 6)
                        AS delta
               FROM r CROSS JOIN c2
         """,

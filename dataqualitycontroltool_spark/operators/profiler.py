@@ -449,17 +449,26 @@ def completeness_drift(
 ) -> DataFrame:
     """Filled-rate drift — the monitoring trio's third leg (shape: A14,
     categories: A15, missingness: this): per column, the share of rows
-    that are non-NULL and non-blank (the validation plan's missing rule)
-    in each snapshot and the delta.  A pipeline upstream dropping a field
-    shows up here before any value-level check fires.
+    that are non-NULL and non-blank after trim in each snapshot and the
+    delta.  (Deliberately a SUPERSET of the validation plan's default
+    missing rule, which matches exact tokens only — whitespace-padded
+    blanks count as missing here, since drift monitoring wants the
+    pessimistic read.)  A pipeline upstream dropping a field shows up
+    here before any value-level check fires.
 
     Plan: ONE aggregate per side computing every column's filled count in
     the same pass (no per-column scans), unpivoted driver-side from a
     1-row result — O(columns) driver state."""
-    cols = list(cols or [c for c in ref.columns if c in set(cur.columns)])
+    if cols is None:
+        cur_cols = set(cur.columns)
+        cols = [c for c in ref.columns if c in cur_cols]
+    cols = list(cols)
+    total_alias = "__cd_total__"
+    if total_alias in cols:
+        raise ValueError(f"column name {total_alias!r} is reserved")
 
     def filled_row(df: DataFrame):
-        aggs = [F.count(F.lit(1)).alias("_total")] + [
+        aggs = [F.count(F.lit(1)).alias(total_alias)] + [
             F.sum(
                 (
                     F.col(c).isNotNull()
@@ -473,8 +482,8 @@ def completeness_drift(
     r, c = filled_row(ref), filled_row(cur)
     rows = []
     for name in cols:
-        rp = round((r[name] or 0) / max(r["_total"], 1), 6)
-        cp = round((c[name] or 0) / max(c["_total"], 1), 6)
+        rp = round((r[name] or 0) / max(r[total_alias], 1), 6)
+        cp = round((c[name] or 0) / max(c[total_alias], 1), 6)
         rows.append((name, rp, cp, round(cp - rp, 6)))
     return ref.sparkSession.createDataFrame(
         rows, "column string, ref_filled double, cur_filled double, delta double"

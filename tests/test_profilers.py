@@ -286,3 +286,18 @@ def test_completeness_drift_detects_dropped_field(spark):
     assert out["s"].ref_filled == 1.0 and out["s"].cur_filled == 0.5
     assert out["s"].delta == -0.5            # NULL and blank both missing
     assert out["v"].delta == -0.25
+
+
+def test_completeness_drift_edge_inputs(spark):
+    from dataqualitycontroltool_spark.operators.profiler import completeness_drift
+    ref = spark.createDataFrame([(1, "x")], ["id", "_total"])
+    cur = spark.createDataFrame([(2, None)], "id long, _total string")
+    # a user column named "_total" no longer collides with internals
+    out = {r.column: r for r in completeness_drift(ref, cur).collect()}
+    assert out["_total"].cur_filled == 0.0 and out["_total"].delta == -1.0
+    # explicit empty column list is a no-op, not profile-everything
+    assert completeness_drift(ref, cur, cols=[]).count() == 0
+    # empty snapshot side yields 0.0 shares, not NULL
+    empty = spark.createDataFrame([], "id long, _total string")
+    e = {r.column: r for r in completeness_drift(ref, empty).collect()}
+    assert e["id"].cur_filled == 0.0 and e["id"].delta == -1.0
