@@ -663,6 +663,16 @@ def q_normalize_scores_docs(spark, sf_dir):
     )
 
 
+def q_corpus_accounting_docs(spark, sf_dir):
+    """Effective-dataset-size audit: raw docs/tokens, docs after exact
+    dedup, docs and tokens after near-dup clustering (min-id survivor)."""
+    from dataqualitycontroltool_spark.operators import corpus
+
+    return corpus.corpus_accounting(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_leakage_safe_split_docs(spark, sf_dir):
     """Dedup-aware train/valid/test split: near-dup clusters (LSH + CC)
     are the split unit, hashed through deterministic md5 bands
@@ -1130,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_backoff_docs": q_perplexity_backoff_docs,
         "temperature_sample_docs": q_temperature_sample_docs,
         "leakage_safe_split_docs": q_leakage_safe_split_docs,
+        "corpus_accounting_docs": q_corpus_accounting_docs,
         "normalize_scores_docs": q_normalize_scores_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "stratified_sample_documents": q_stratified_sample_documents,
@@ -2088,6 +2099,75 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((d.n_chars - s.m) / s.sd, 6)
                    END AS z
             FROM documents d JOIN s ON d.source IS NOT DISTINCT FROM s.source
+        """,
+        "corpus_accounting_docs": f"""
+            WITH RECURSIVE {_SH_CTE},
+            mh AS (
+              SELECT doc_id, {_MINHASH_COLS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_ROWS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (
+              SELECT id_a, id_b, count(*) AS c
+              FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM common JOIN cnt ca ON ca.doc_id = id_a
+                          JOIN cnt cb ON cb.doc_id = id_b
+              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            ),
+            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+            dropped AS (SELECT id FROM comp WHERE id <> comp),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS nt
+              FROM documents
+            ),
+            base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens
+              FROM toks
+            ),
+            ex AS (
+              SELECT CAST(coalesce(sum(n_rows - 1), 0) AS BIGINT) AS d
+              FROM (
+                SELECT count(*) AS n_rows
+                FROM (SELECT md5(regexp_replace(trim(lower(text)),
+                                                '\\s+', ' ', 'g')) AS f
+                      FROM documents)
+                GROUP BY f HAVING count(*) > 1
+              )
+            ),
+            nd AS (
+              SELECT CAST(count(*) AS BIGINT) AS ndocs,
+                     CAST(coalesce(sum(nt), 0) AS BIGINT) AS ntoks
+              FROM toks JOIN dropped ON toks.doc_id = dropped.id
+            )
+            SELECT n_docs, n_tokens,
+                   n_docs - ex.d AS docs_after_exact,
+                   n_docs - nd.ndocs AS docs_after_neardup,
+                   n_tokens - nd.ntoks AS tokens_after_neardup
+            FROM base CROSS JOIN ex CROSS JOIN nd
         """,
         "leakage_safe_split_docs": f"""
             WITH RECURSIVE {_SH_CTE},

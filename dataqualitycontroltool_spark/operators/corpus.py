@@ -561,3 +561,60 @@ def normalize_scores(
             ).alias("z"),
         )
     )
+
+
+def corpus_accounting(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, **lsh_kwargs
+) -> DataFrame:
+    """Effective-dataset-size audit — the first slide of every curation
+    report: raw documents/whitespace tokens, documents surviving exact
+    content dedup, documents AND tokens surviving near-dup clustering
+    (LSH + connected components, min-id survivor per cluster).  One row:
+    ``(n_docs, n_tokens, docs_after_exact, docs_after_neardup,
+    tokens_after_neardup)``.
+
+    Plan: one base aggregate for raw counts; the exact-dup groups and
+    near-dup clusters come from the already-audited operators
+    (``dedup.exact_duplicate_groups``, ``dedup.duplicate_clusters``);
+    dropped near-dup members anti-join back onto the slim (id, tokens)
+    frame for the surviving-token sum.  Every piece is an aggregate or a
+    bounded join — nothing new crosses the wire at scale."""
+    from dataqualitycontroltool_spark.operators import dedup
+
+    n_toks = F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    slim = df.select(F.col(id_col), n_toks.alias("_nt"))
+    base = slim.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+    )
+    exact = dedup.exact_duplicate_groups(df, id_col, text_col).agg(
+        F.coalesce(F.sum(F.col("n_rows") - 1), F.lit(0)).cast("bigint").alias(
+            "_exact_dropped"
+        )
+    )
+    clusters = dedup.duplicate_clusters(
+        df, id_col, text_col, threshold, **lsh_kwargs
+    )
+    dropped = clusters.where(~F.col("is_survivor")).select(F.col(id_col))
+    near = (
+        slim.join(dropped, id_col, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("_near_dropped"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).alias("_near_dropped_tokens"),
+        )
+    )
+    return (
+        base.join(F.broadcast(exact))
+        .join(F.broadcast(near))
+        .select(
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") - F.col("_exact_dropped")).alias("docs_after_exact"),
+            (F.col("n_docs") - F.col("_near_dropped")).alias("docs_after_neardup"),
+            (F.col("n_tokens") - F.col("_near_dropped_tokens")).cast(
+                "bigint"
+            ).alias("tokens_after_neardup"),
+        )
+    )

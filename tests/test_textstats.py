@@ -573,3 +573,31 @@ def test_hygiene_oracle_matches_spark_on_dirty_rows(spark):
     assert by_id[3][2] == 2 and not by_id[3][4]   # two U+FFFD
     assert by_id[4][1] == 2 and not by_id[4][4]   # two C1 controls
     assert by_id[5][4]                            # tab/LF/CR are structure
+
+
+def test_corpus_accounting_with_known_duplicates(spark):
+    from dataqualitycontroltool_spark.operators import corpus
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  Quick   Brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),     # near-dup of 1
+        (4, "entirely different content with no overlap here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    r = corpus.corpus_accounting(df, "id", "text", threshold=0.5).collect()[0]
+    assert r.n_docs == 5
+    assert r.n_tokens == sum(len(t.split()) for _, t in rows)
+    assert r.docs_after_exact == 4           # doc 2 dropped
+    # near-dup accounting must agree exactly with the cluster operator
+    # (LSH recall for J~0.75 pairs depends on the fixed salts, so derive
+    # the expectation instead of predicting band collisions)
+    from dataqualitycontroltool_spark.operators import dedup
+    dropped = {c.id for c in
+               dedup.duplicate_clusters(df, "id", "text", 0.5).collect()
+               if not c.is_survivor}
+    assert 2 in dropped                      # exact dup always collides
+    assert r.docs_after_neardup == 5 - len(dropped)
+    by_id = dict(rows)
+    assert r.tokens_after_neardup == r.n_tokens - sum(
+        len(by_id[i].split()) for i in dropped)
