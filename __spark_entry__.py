@@ -1235,6 +1235,50 @@ _BAND_ROWS = "\n  UNION ALL ".join(
     for b in range(4)
 )
 
+# shared LSH candidate -> verified-Jaccard pairs -> connected components
+# chain (threshold 0.8) used by every oracle that clusters near-dups;
+# expects to follow _SH_CTE inside a WITH RECURSIVE, yields `comp(id, comp)`
+_LSH_CC_CTES = None  # assigned below once _MINHASH_COLS/_BAND_ROWS exist
+
+
+def _lsh_cc_ctes() -> str:
+    return f"""mh AS (
+              SELECT doc_id, {_MINHASH_COLS}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS ({_BAND_ROWS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            common AS (
+              SELECT id_a, id_b, count(*) AS c
+              FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM common JOIN cnt ca ON ca.doc_id = id_a
+                          JOIN cnt cb ON cb.doc_id = id_b
+              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+            ),
+            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)"""
+
+
+_LSH_CC_CTES = _lsh_cc_ctes()
+
 # 60-bit SimHash per doc, computed token-occurrence-weighted in pure SQL
 _SIMHASH_CTE = r"""
 tok AS (
@@ -2102,44 +2146,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_accounting_docs": f"""
             WITH RECURSIVE {_SH_CTE},
-            mh AS (
-              SELECT doc_id, {_MINHASH_COLS}
-              FROM sh GROUP BY doc_id
-            ),
-            bands AS ({_BAND_ROWS}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-            ),
-            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            common AS (
-              SELECT id_a, id_b, count(*) AS c
-              FROM cand JOIN sh a ON a.doc_id = cand.id_a
-                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT id_a, id_b
-              FROM common JOIN cnt ca ON ca.doc_id = id_a
-                          JOIN cnt cb ON cb.doc_id = id_b
-              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs
-            ),
-            reach AS (
-              SELECT src AS id, dst AS r FROM edges
-              UNION
-              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-            ),
-            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
-            dropped AS (SELECT id FROM comp WHERE id <> comp),
+            {_LSH_CC_CTES},
             toks AS (
               SELECT doc_id,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
                      END AS nt
               FROM documents
             ),
@@ -2148,62 +2159,41 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(nt) AS BIGINT) AS n_tokens
               FROM toks
             ),
-            ex AS (
-              SELECT CAST(coalesce(sum(n_rows - 1), 0) AS BIGINT) AS d
-              FROM (
-                SELECT count(*) AS n_rows
-                FROM (SELECT md5(regexp_replace(trim(lower(text)),
-                                                '\\s+', ' ', 'g')) AS f
-                      FROM documents)
-                GROUP BY f HAVING count(*) > 1
-              )
+            fpt AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+              FROM documents
             ),
-            nd AS (
-              SELECT CAST(count(*) AS BIGINT) AS ndocs,
-                     CAST(coalesce(sum(nt), 0) AS BIGINT) AS ntoks
-              FROM toks JOIN dropped ON toks.doc_id = dropped.id
+            exl AS (
+              SELECT fpt.doc_id FROM fpt
+              JOIN (SELECT f, min(doc_id) AS keep FROM fpt
+                    GROUP BY f HAVING count(*) > 1) g
+                ON fpt.f = g.f AND fpt.doc_id <> g.keep
+            ),
+            ndl AS (
+              SELECT doc_id FROM exl
+              UNION SELECT id AS doc_id FROM comp WHERE id <> comp
+            ),
+            exd AS (
+              SELECT CAST(count(*) AS BIGINT) AS d,
+                     CAST(coalesce(sum(nt), 0) AS BIGINT) AS t
+              FROM toks JOIN exl USING (doc_id)
+            ),
+            ndd AS (
+              SELECT CAST(count(*) AS BIGINT) AS d,
+                     CAST(coalesce(sum(nt), 0) AS BIGINT) AS t
+              FROM toks JOIN ndl USING (doc_id)
             )
             SELECT n_docs, n_tokens,
-                   n_docs - ex.d AS docs_after_exact,
-                   n_docs - nd.ndocs AS docs_after_neardup,
-                   n_tokens - nd.ntoks AS tokens_after_neardup
-            FROM base CROSS JOIN ex CROSS JOIN nd
+                   n_docs - exd.d AS docs_after_exact,
+                   n_tokens - exd.t AS tokens_after_exact,
+                   n_docs - ndd.d AS docs_after_neardup,
+                   n_tokens - ndd.t AS tokens_after_neardup
+            FROM base CROSS JOIN exd CROSS JOIN ndd
         """,
         "leakage_safe_split_docs": f"""
             WITH RECURSIVE {_SH_CTE},
-            mh AS (
-              SELECT doc_id, {_MINHASH_COLS}
-              FROM sh GROUP BY doc_id
-            ),
-            bands AS ({_BAND_ROWS}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-            ),
-            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            common AS (
-              SELECT id_a, id_b, count(*) AS c
-              FROM cand JOIN sh a ON a.doc_id = cand.id_a
-                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT id_a, id_b
-              FROM common JOIN cnt ca ON ca.doc_id = id_a
-                          JOIN cnt cb ON cb.doc_id = id_b
-              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs
-            ),
-            reach AS (
-              SELECT src AS id, dst AS r FROM edges
-              UNION
-              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-            ),
-            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+            {_LSH_CC_CTES},
             lab AS (
               SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
               FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
@@ -2896,39 +2886,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "connected_components_docs": f"""
             WITH RECURSIVE {_SH_CTE},
-            mh AS (
-              SELECT doc_id, {_MINHASH_COLS}
-              FROM sh GROUP BY doc_id
-            ),
-            bands AS ({_BAND_ROWS}),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-            ),
-            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            common AS (
-              SELECT id_a, id_b, count(*) AS c
-              FROM cand JOIN sh a ON a.doc_id = cand.id_a
-                        JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
-              GROUP BY 1, 2
-            ),
-            pairs AS (
-              SELECT id_a, id_b
-              FROM common JOIN cnt ca ON ca.doc_id = id_a
-                          JOIN cnt cb ON cb.doc_id = id_b
-              WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.8
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs
-            ),
-            reach AS (
-              SELECT src AS id, dst AS r FROM edges
-              UNION
-              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-            )
-            SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+            {_LSH_CC_CTES}
+            SELECT id, comp FROM comp
         """,
         "sessionize_batch_events": """
             WITH e AS (

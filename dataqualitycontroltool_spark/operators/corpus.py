@@ -567,54 +567,66 @@ def corpus_accounting(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, **lsh_kwargs
 ) -> DataFrame:
     """Effective-dataset-size audit — the first slide of every curation
-    report: raw documents/whitespace tokens, documents surviving exact
-    content dedup, documents AND tokens surviving near-dup clustering
-    (LSH + connected components, min-id survivor per cluster).  One row:
-    ``(n_docs, n_tokens, docs_after_exact, docs_after_neardup,
-    tokens_after_neardup)``.
+    report, as a CUMULATIVE funnel: raw documents/whitespace tokens
+    (``textstats.token_count_ws`` — the same count every other operator
+    reports), documents AND tokens surviving exact content dedup, then
+    documents AND tokens surviving exact + near-dup clustering (LSH +
+    connected components, min-id survivor; the near-dup stage drops the
+    UNION of exact losers and cluster losers, so sub-shingle-length exact
+    duplicates — invisible to LSH — still leave the funnel).  One row:
+    ``(n_docs, n_tokens, docs_after_exact, tokens_after_exact,
+    docs_after_neardup, tokens_after_neardup)``.
 
-    Plan: one base aggregate for raw counts; the exact-dup groups and
-    near-dup clusters come from the already-audited operators
-    (``dedup.exact_duplicate_groups``, ``dedup.duplicate_clusters``);
-    dropped near-dup members anti-join back onto the slim (id, tokens)
-    frame for the surviving-token sum.  Every piece is an aggregate or a
-    bounded join — nothing new crosses the wire at scale."""
-    from dataqualitycontroltool_spark.operators import dedup
-
-    n_toks = F.when(
-        F.trim(F.col(text_col)) == "", F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    Plan: one base aggregate; exact losers come from the fingerprint
+    join-back (the curate_documents pattern), cluster losers from
+    ``dedup.duplicate_clusters``; each loser set left-semi-joins the slim
+    (id, tokens) frame for its drop totals.  On a duplicate-heavy crawl
+    the loser sets are O(corpus), so those semi-joins are real exchanges
+    over the slim two-column frame — the honest cost of exact token
+    accounting; the full text never re-shuffles."""
+    n_toks = textstats.token_count_ws(F.col(text_col))
     slim = df.select(F.col(id_col), n_toks.alias("_nt"))
     base = slim.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").cast("bigint").alias("n_tokens"),
     )
-    exact = dedup.exact_duplicate_groups(df, id_col, text_col).agg(
-        F.coalesce(F.sum(F.col("n_rows") - 1), F.lit(0)).cast("bigint").alias(
-            "_exact_dropped"
+    fps = df.select(
+        F.col(id_col), dedup.content_fingerprint(F.col(text_col)).alias("_f")
+    )
+    groups = dedup.exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("fingerprint").alias("_f"), "survivor_id"
+    )
+    exact_losers = (
+        fps.join(groups, "_f")
+        .where(F.col(id_col) != F.col("survivor_id"))
+        .select(id_col)
+    )
+    near_losers = (
+        dedup.duplicate_clusters(df, id_col, text_col, threshold, **lsh_kwargs)
+        .where(~F.col("is_survivor"))
+        .select(id_col)
+    )
+    all_losers = exact_losers.union(near_losers).distinct()
+
+    def drop_totals(losers: DataFrame, prefix: str) -> DataFrame:
+        return slim.join(losers, id_col, "left_semi").agg(
+            F.count(F.lit(1)).alias(f"_{prefix}_docs"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).alias(f"_{prefix}_toks"),
         )
-    )
-    clusters = dedup.duplicate_clusters(
-        df, id_col, text_col, threshold, **lsh_kwargs
-    )
-    dropped = clusters.where(~F.col("is_survivor")).select(F.col(id_col))
-    near = (
-        slim.join(dropped, id_col, "left_semi")
-        .agg(
-            F.count(F.lit(1)).alias("_near_dropped"),
-            F.coalesce(F.sum("_nt"), F.lit(0)).alias("_near_dropped_tokens"),
-        )
-    )
+
     return (
-        base.join(F.broadcast(exact))
-        .join(F.broadcast(near))
+        base.join(F.broadcast(drop_totals(exact_losers, "ex")))
+        .join(F.broadcast(drop_totals(all_losers, "nd")))
         .select(
             "n_docs",
             "n_tokens",
-            (F.col("n_docs") - F.col("_exact_dropped")).alias("docs_after_exact"),
-            (F.col("n_docs") - F.col("_near_dropped")).alias("docs_after_neardup"),
-            (F.col("n_tokens") - F.col("_near_dropped_tokens")).cast(
-                "bigint"
-            ).alias("tokens_after_neardup"),
+            (F.col("n_docs") - F.col("_ex_docs")).alias("docs_after_exact"),
+            (F.col("n_tokens") - F.col("_ex_toks")).cast("bigint").alias(
+                "tokens_after_exact"
+            ),
+            (F.col("n_docs") - F.col("_nd_docs")).alias("docs_after_neardup"),
+            (F.col("n_tokens") - F.col("_nd_toks")).cast("bigint").alias(
+                "tokens_after_neardup"
+            ),
         )
     )

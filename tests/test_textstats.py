@@ -583,21 +583,25 @@ def test_corpus_accounting_with_known_duplicates(spark):
         (3, "the quick brown fox jumps over the lazy cat"),     # near-dup of 1
         (4, "entirely different content with no overlap here"),
         (5, ""),
+        (6, "hi there"),   # sub-shingle exact-dup pair: invisible to LSH,
+        (7, "hi there"),   # must still leave the funnel at the exact stage
     ]
     df = spark.createDataFrame(rows, ["id", "text"])
     r = corpus.corpus_accounting(df, "id", "text", threshold=0.5).collect()[0]
-    assert r.n_docs == 5
+    assert r.n_docs == 7
     assert r.n_tokens == sum(len(t.split()) for _, t in rows)
-    assert r.docs_after_exact == 4           # doc 2 dropped
+    assert r.docs_after_exact == 5           # docs 2 and 7 dropped
+    assert r.tokens_after_exact == r.n_tokens - 9 - 2
     # near-dup accounting must agree exactly with the cluster operator
     # (LSH recall for J~0.75 pairs depends on the fixed salts, so derive
     # the expectation instead of predicting band collisions)
     from dataqualitycontroltool_spark.operators import dedup
-    dropped = {c.id for c in
-               dedup.duplicate_clusters(df, "id", "text", 0.5).collect()
-               if not c.is_survivor}
-    assert 2 in dropped                      # exact dup always collides
-    assert r.docs_after_neardup == 5 - len(dropped)
+    near = {c.id for c in
+            dedup.duplicate_clusters(df, "id", "text", 0.5).collect()
+            if not c.is_survivor}
+    assert 2 in near                         # exact dup always collides
+    dropped = near | {2, 7}                  # cumulative funnel: exact too
+    assert r.docs_after_neardup == 7 - len(dropped)
     by_id = dict(rows)
     assert r.tokens_after_neardup == r.n_tokens - sum(
         len(by_id[i].split()) for i in dropped)
