@@ -245,6 +245,57 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Measured recall@5 of the two approximate ANN paths against exact
+    brute force over the same 8 queries — the metric production ANN is
+    actually graded on (VERDICT r3 #4): sign-LSH bucketed (8 seeded bits)
+    single-probe AND multi-probe radius 2 (Lv et al. 2007), and IVF with
+    nprobe=2 of the 8 fixed centroids.  One row per method:
+    (method, n_hits, n_exact, recall) with recall = |approx ∩ exact| /
+    |exact| on (query, neighbor) pairs.  The comparison is three left-semi
+    joins + 1-row aggregates — the exact result is by construction
+    queries×k rows, so nothing here is ever large."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5
+    ).select("query_id", "neighbor_id")
+    approx = {
+        "bucketed": similarity.bucketed_topk(
+            emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, dim=EMB_DIM
+        ),
+        "bucketed_mp2": similarity.bucketed_topk(
+            emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, dim=EMB_DIM,
+            probe_hamming=2,
+        ),
+        "ivf_nprobe2": similarity.ivf_topk(
+            emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, nprobe=2,
+            centroids=_fixed_centroids(emb),
+        ),
+    }
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    parts = []
+    for name, adf in approx.items():
+        hits = exact.join(
+            adf.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        parts.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_text_quality(spark, sf_dir):
     """Per-doc quality metrics + Gopher/C4-style keep flag (pure map stage)."""
     return textstats.text_quality(load_table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -699,18 +750,30 @@ def q_perplexity_backoff_docs(spark, sf_dir):
     """Stupid-backoff trigram perplexity (Brants et al. 2007) with a
     corpus-trained model: one trigram count table on the trusted
     (lang='en') slice; bigram/unigram orders and all context totals
-    derive in-plan; every doc scores via four left equi-joins, no UDF."""
+    derive in-plan; every doc scores via four left equi-joins, no UDF.
+
+    Cache lifecycle (ADVICE r3): the corpus-built model is persisted HERE,
+    scoring runs eagerly into a localCheckpoint (the per-doc result — tiny
+    at any bench SF), and the model cache is released in the finally —
+    nothing persisted survives the query, unlike the old cache=True
+    default whose frame accumulated across the 72-query bench loop."""
     from dataqualitycontroltool_spark.operators import ngram_lm
 
     docs = load_table(spark, sf_dir, "documents")
     lm = ngram_lm.train_backoff_lm(
         docs.where(F.col("lang") == "en"), "text", "doc_id"
-    )
-    return ngram_lm.score_perplexity_backoff(docs, lm, "doc_id", "text").select(
-        "doc_id",
-        F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
-        "ppl",
-    )
+    ).persist()
+    try:
+        out = ngram_lm.score_perplexity_backoff(
+            docs, lm, "doc_id", "text", cache=False
+        ).select(
+            "doc_id",
+            F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+            "ppl",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        lm.unpersist()
 
 
 def q_skew_report_events(spark, sf_dir):
@@ -1146,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "export_shards_documents": q_export_shards_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -1742,7 +1806,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             bg AS (
               SELECT doc_id, lang,
-                     CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS context,
+                     CASE WHEN i = 1 THEN '< s >' ELSE toks[i - 1] END AS context,
                      token
               FROM bgx
             ),
@@ -2232,8 +2296,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             tri AS (
               SELECT doc_id, lang,
-                     CASE WHEN i <= 1 THEN '<s>' ELSE t[i - 1] END AS c2,
-                     CASE WHEN i = 0 THEN '<s>' ELSE t[i] END AS c1,
+                     CASE WHEN i <= 1 THEN '< s >' ELSE t[i - 1] END AS c2,
+                     CASE WHEN i = 0 THEN '< s >' ELSE t[i] END AS c1,
                      t[i + 1] AS token
               FROM tok, unnest(range(0, len(t))) AS p(i)
             ),
@@ -2787,6 +2851,124 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
             FROM r WHERE rnk <= 5
+        """,
+        "ann_recall": f"""
+            -- recall@5 of the bucketed and IVF(nprobe=2) paths vs brute
+            -- force: the three chains above composed, then two 1-row
+            -- set-intersection counts
+            WITH {_EMB_CTE},
+            ex_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+              FROM (SELECT * FROM n WHERE vec_id < 8) q
+              JOIN n c ON c.vec_id <> q.vec_id
+            ),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM ex_scored
+              ) WHERE rnk <= 5
+            ),
+            bk AS (SELECT vec_id, v, nrm,
+                          {_hyperplane_bucket_sql()} AS bucket
+                   FROM n),
+            bk_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+              FROM (SELECT * FROM bk WHERE vec_id < 8) q
+              JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+            ),
+            buck AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM bk_scored
+              ) WHERE rnk <= 5
+            ),
+            -- multi-probe radius 2: the mask-explode equi-join is
+            -- equivalent to the hamming<=2 predicate on bucket keys
+            mp_scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+              FROM (SELECT * FROM bk WHERE vec_id < 8) q
+              JOIN bk c ON bit_count(xor(CAST(c.bucket AS BIGINT),
+                                         CAST(q.bucket AS BIGINT))) <= 2
+                       AND c.vec_id <> q.vec_id
+            ),
+            mp AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM mp_scored
+              ) WHERE rnk <= 5
+            ),
+            cset AS (SELECT vec_id AS cid, list_transform(v, x -> x / nrm) AS cv
+                     FROM n WHERE vec_id < 8),
+            iassign AS (
+              SELECT vec_id, cid FROM (
+                SELECT n.vec_id, cset.cid,
+                       row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.v, cset.cv) / n.nrm DESC,
+                                  cset.cid ASC) AS rk
+                FROM n CROSS JOIN cset
+              ) WHERE rk = 1
+            ),
+            iprobes AS (
+              SELECT vec_id AS query_id, cid FROM (
+                SELECT n.vec_id, cset.cid,
+                       row_number() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_dot_product(n.v, cset.cv) / n.nrm DESC,
+                                  cset.cid ASC) AS rk
+                FROM n CROSS JOIN cset WHERE n.vec_id < 8
+              ) WHERE rk <= 2
+            ),
+            icand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM iprobes p JOIN iassign a ON a.cid = p.cid
+              WHERE a.vec_id <> p.query_id
+            ),
+            iscored AS (
+              SELECT icand.query_id, icand.neighbor_id,
+                     round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos
+              FROM icand JOIN n q ON q.vec_id = icand.query_id
+                         JOIN n t ON t.vec_id = icand.neighbor_id
+            ),
+            ivf AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM iscored
+              ) WHERE rnk <= 5
+            ),
+            tot AS (SELECT count(*) AS n_exact FROM exact)
+            SELECT 'bucketed' AS method,
+                   CAST((SELECT count(*) FROM buck
+                         JOIN exact USING (query_id, neighbor_id)) AS BIGINT)
+                     AS n_hits,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   round((SELECT count(*) FROM buck
+                          JOIN exact USING (query_id, neighbor_id))
+                         * 1.0 / n_exact, 6) AS recall
+            FROM tot
+            UNION ALL
+            SELECT 'bucketed_mp2',
+                   CAST((SELECT count(*) FROM mp
+                         JOIN exact USING (query_id, neighbor_id)) AS BIGINT),
+                   CAST(n_exact AS BIGINT),
+                   round((SELECT count(*) FROM mp
+                          JOIN exact USING (query_id, neighbor_id))
+                         * 1.0 / n_exact, 6)
+            FROM tot
+            UNION ALL
+            SELECT 'ivf_nprobe2',
+                   CAST((SELECT count(*) FROM ivf
+                         JOIN exact USING (query_id, neighbor_id)) AS BIGINT),
+                   CAST(n_exact AS BIGINT),
+                   round((SELECT count(*) FROM ivf
+                          JOIN exact USING (query_id, neighbor_id))
+                         * 1.0 / n_exact, 6)
+            FROM tot
         """,
         # pinned VALUES golden for the sf0.01 tables (the correctness
         # gate's scale): the guesser/resolver vote runs on a BOUNDED driver

@@ -50,7 +50,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -60,7 +60,37 @@ def main() -> None:
         "dicom_10k": _dicom_scale(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
-    }))
+    }
+    line = json.dumps(payload)
+    print(line)
+    _persist_full_artifact(line)
+
+
+def _persist_full_artifact(line: str) -> None:
+    """Write the complete bench JSON to BENCH/r{N}_full.json so the round's
+    perf record never depends on the driver's 4096-char stdout tail capture
+    (BENCH_r03.json arrived with "parsed": null — VERDICT r3 #3).  The round
+    number comes from $SPARK_GRAFT_ROUND if set, else the highest existing
+    BENCH_r*.json in the repo root + 1 (the driver writes that file AFTER
+    this script runs, so current round = max + 1)."""
+    import re
+
+    root = Path(__file__).resolve().parent
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        seen = [
+            int(m.group(1))
+            for p in root.glob("BENCH_r*.json")
+            if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    out = root / "BENCH" / f"r{int(rnd):02d}_full.json"
+    try:
+        out.parent.mkdir(exist_ok=True)
+        out.write_text(line + "\n")
+        print(f"full bench artifact: {out}", file=sys.stderr)
+    except OSError as exc:  # never fail the bench over the side artifact
+        print(f"could not write {out}: {exc}", file=sys.stderr)
 
 
 def _dicom_scale(spark, n_files: int = 10_000) -> dict:

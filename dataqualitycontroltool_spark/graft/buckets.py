@@ -168,12 +168,20 @@ def bucket_batches(
     """
     from pyspark.sql import Window
 
-    from dataqualitycontroltool_spark.operators.export import _shuffle_key
+    from dataqualitycontroltool_spark.operators.export import (
+        _shuffle_key,
+        reserve_columns,
+    )
 
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    reserve_columns(
+        df,
+        ["_h", "_pos", "_n", "shard", "pos", "batch_id", "is_partial"],
+        "bucket_batches",
+    )
     h = _shuffle_key(id_col, seed)
     shard = F.pmod(
         F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint"),

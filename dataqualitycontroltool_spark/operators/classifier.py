@@ -107,12 +107,20 @@ def train_and_score(
     ``cache=True`` persists the (slim — pass only id + features + label)
     feature frame so the ``steps`` epochs aggregate cached doubles instead
     of re-deriving features from raw text every pass (measured 7.6s -> ~2s
-    for 24 steps over 5k docs); the caller owns the lifecycle (unpersist
-    when done), same contract as ``dedup.simhash_pairs``.  At 10^12 rows
+    for 24 steps over 5k docs).  The lifecycle is fully INTERNAL
+    (try/finally, like ``corpus.percentile_keep``): training is eager, so
+    the cache is released before returning and the lazy scorer re-derives
+    the features exactly once at execution — the same single pass it would
+    pay reading the cache, with no persisted state left behind (ADVICE r3:
+    queries never unpersisted the old caller-owned cache).  At 10^12 rows
     the production analogue is checkpointing the feature table to storage
     once and reading it per epoch — memory-persist and GD-over-features
     have the same one-materialization shape."""
     if cache:
         df = df.persist()
-    w = train_logistic(df, feature_cols, label_col, steps, lr)
+    try:
+        w = train_logistic(df, feature_cols, label_col, steps, lr)
+    finally:
+        if cache:
+            df.unpersist()
     return score_logistic(df, w, feature_cols, threshold)

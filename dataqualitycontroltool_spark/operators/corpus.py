@@ -193,7 +193,10 @@ def cap_per_group(
     """
     from pyspark.sql import Window
 
-    from dataqualitycontroltool_spark.operators.export import _shuffle_key
+    from dataqualitycontroltool_spark.operators.export import (
+        _shuffle_key,
+        reserve_columns,
+    )
 
     if isinstance(group_cols, str):
         group_cols = [group_cols]
@@ -201,6 +204,7 @@ def cap_per_group(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    reserve_columns(df, ["_h", "_shard", "_r1", "cap_rank"], "cap_per_group")
     shard = F.pmod(
         F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("bigint"),
         F.lit(n_shards),
@@ -479,6 +483,7 @@ def leakage_safe_split(
     ),
     seed: str = "42",
     threshold: float = 0.8,
+    clusters: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Dedup-aware train/valid/test assignment: near-duplicate documents
@@ -493,13 +498,18 @@ def leakage_safe_split(
 
     Scale shape: the cost IS the dedup (LSH + CC, both already
     scale-audited); the assignment itself is one left join + a pure
-    projection.  At 10^12 rows you would persist the component table once
-    and reuse it for every split policy."""
+    projection.  At 10^12 rows you persist the component table ONCE and
+    reuse it for every cluster-keyed operator: pass a precomputed
+    ``dedup.duplicate_clusters`` result (columns ``(id_col, comp, ...)``)
+    as ``clusters`` and the LSH + CC pass is skipped entirely — the same
+    injection seam as ``run_pipeline(dedup=...)``."""
     from dataqualitycontroltool_spark.operators import dedup
 
-    comps = dedup.duplicate_clusters(
-        df.select(id_col, text_col), id_col, text_col, threshold, **lsh_kwargs
-    ).select(F.col(id_col).alias("_cid"), "comp")
+    if clusters is None:
+        clusters = dedup.duplicate_clusters(
+            df.select(id_col, text_col), id_col, text_col, threshold, **lsh_kwargs
+        )
+    comps = clusters.select(F.col(id_col).alias("_cid"), "comp")
     labeled = df.select(F.col(id_col)).join(
         comps, df[id_col] == comps["_cid"], "left"
     ).select(df[id_col], F.coalesce("comp", df[id_col]).alias("comp"))
@@ -564,7 +574,12 @@ def normalize_scores(
 
 
 def corpus_accounting(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, **lsh_kwargs
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    clusters: DataFrame | None = None,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Effective-dataset-size audit — the first slide of every curation
     report, as a CUMULATIVE funnel: raw documents/whitespace tokens
@@ -583,7 +598,13 @@ def corpus_accounting(
     (id, tokens) frame for its drop totals.  On a duplicate-heavy crawl
     the loser sets are O(corpus), so those semi-joins are real exchanges
     over the slim two-column frame — the honest cost of exact token
-    accounting; the full text never re-shuffles."""
+    accounting; the full text never re-shuffles.
+
+    ``clusters`` — a precomputed ``dedup.duplicate_clusters`` result
+    (columns ``(id_col, comp, is_survivor)``) — skips the internal
+    LSH + CC pass, so one clustering can feed this audit AND the
+    leakage-safe split (at 10^12 rows the clustering is the single most
+    expensive pass in the repo; never run it twice)."""
     n_toks = textstats.token_count_ws(F.col(text_col))
     slim = df.select(F.col(id_col), n_toks.alias("_nt"))
     base = slim.agg(
@@ -601,11 +622,11 @@ def corpus_accounting(
         .where(F.col(id_col) != F.col("survivor_id"))
         .select(id_col)
     )
-    near_losers = (
-        dedup.duplicate_clusters(df, id_col, text_col, threshold, **lsh_kwargs)
-        .where(~F.col("is_survivor"))
-        .select(id_col)
-    )
+    if clusters is None:
+        clusters = dedup.duplicate_clusters(
+            df, id_col, text_col, threshold, **lsh_kwargs
+        )
+    near_losers = clusters.where(~F.col("is_survivor")).select(id_col)
     all_losers = exact_losers.union(near_losers).distinct()
 
     def drop_totals(losers: DataFrame, prefix: str) -> DataFrame:

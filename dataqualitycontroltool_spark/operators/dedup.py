@@ -859,6 +859,7 @@ def repeated_ngram_spans(
     min_docs: int = 2,
     gram_key: str = "string",
     cache: bool = False,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal contiguous token regions covered by k-grams that each appear
     verbatim in >= ``min_docs`` distinct documents — the union-coverage
@@ -900,10 +901,18 @@ def repeated_ngram_spans(
     gram text (exact, DuckDB-replayable); ``'md5'`` shrinks the shuffle to
     16 bytes/gram (still effectively exact at 10^12 grams);
     ``'xxhash64'`` halves that again but admits ~n^2/2^65 false shared
-    grams — fine for a lossy pre-filter, not for the exact contract."""
-    grams = _positional_grams(df, id_col, text_col, k, gram_key)
-    if cache:
-        grams = grams.persist()
+    grams — fine for a lossy pre-filter, not for the exact contract.
+
+    ``grams`` — a precomputed :func:`positional_grams` frame (id, pos, _g;
+    same ``k``/``gram_key``) — skips the corpus explode entirely, so one
+    (typically persisted) gram frame can feed BOTH this operator and
+    span-level decontamination in the same curation session instead of
+    re-exploding the corpus per signal; with ``grams`` given, ``cache`` is
+    ignored (the caller owns the injected frame's lifecycle)."""
+    if grams is None:
+        grams = positional_grams(df, id_col, text_col, k, gram_key)
+        if cache:
+            grams = grams.persist()
     shared = (
         grams.groupBy("_g")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -928,12 +937,18 @@ def _shingle_vocab(df: DataFrame, text_col: str, k: int) -> DataFrame:
     )
 
 
-def _positional_grams(
+def positional_grams(
     df: DataFrame, id_col: str, text_col: str, k: int, gram_key: str = "string"
 ) -> DataFrame:
     """(id, pos, _g) — one row per k-gram with its 0-based token start;
     the shared front end of every span operator.  ``gram_key`` picks the
-    join key representation (raw string / md5 / xxhash64)."""
+    join key representation (raw string / md5 / xxhash64).
+
+    Public so a curation session wanting SEVERAL span signals (repeated
+    spans AND span decontamination) builds this frame once — persist it,
+    pass it as the ``grams=`` argument of each operator, unpersist when
+    done — instead of re-exploding the corpus per signal (the explode is
+    one row per corpus token: the dominant scan at 10^12 tokens)."""
     if gram_key not in ("string", "md5", "xxhash64"):
         raise ValueError(f"unknown gram_key {gram_key!r}")
     key = {
@@ -979,6 +994,7 @@ def repeated_span_summary(
     min_docs: int = 2,
     gram_key: str = "string",
     cache: bool = False,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document rollup of :func:`repeated_ngram_spans` — the filter
     signal a curation pass thresholds on: ``(id, n_spans,
@@ -986,7 +1002,9 @@ def repeated_span_summary(
     clean).  ``repeated_frac`` is repeated tokens over the doc's
     whitespace-token count, rounded to 6 places for cross-engine replay;
     spans never overlap, so it is true coverage and never exceeds 1."""
-    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key, cache)
+    spans = repeated_ngram_spans(
+        df, id_col, text_col, k, min_docs, gram_key, cache, grams=grams
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_tokens").alias("repeated_tokens"),
@@ -1014,6 +1032,7 @@ def remove_repeated_spans(
     min_docs: int = 2,
     gram_key: str = "string",
     cache: bool = False,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every repeated span (:func:`repeated_ngram_spans`) out of every
     document — the removal step of Lee et al. 2022's exact-substring
@@ -1029,7 +1048,9 @@ def remove_repeated_spans(
     shuffle left join back, then a pure projection: each token index is
     kept unless some span covers it (``exists`` over the span array,
     JVM-side, O(tokens x spans/doc) per row with no further shuffle)."""
-    spans = repeated_ngram_spans(df, id_col, text_col, k, min_docs, gram_key, cache)
+    spans = repeated_ngram_spans(
+        df, id_col, text_col, k, min_docs, gram_key, cache, grams=grams
+    )
     return _cut_spans(df, spans, id_col, text_col)
 
 
@@ -1087,6 +1108,7 @@ def contaminated_spans(
     text_col: str,
     bench_text_col: str | None = None,
     k: int = 8,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Span-LEVEL decontamination (GPT-3/Pile appendix style): the maximal
     corpus-token regions covered by k-grams that appear anywhere in the
@@ -1098,12 +1120,17 @@ def contaminated_spans(
     distinct shingle vocabulary (the eval set is small; AQE broadcasts it),
     then the shared lag/running-sum island merge.  Fan-out is bounded by
     the benchmark vocabulary — identical scale shape to
-    decontamination_flags."""
+    decontamination_flags.
+
+    ``grams`` — a precomputed :func:`positional_grams` frame over the
+    corpus (same ``k``, ``gram_key='string'``) — lets one corpus explode
+    feed both this and :func:`repeated_ngram_spans` in the same session."""
     bench_col = bench_text_col or text_col
     vocab = _shingle_vocab(benchmark, bench_col, k).withColumnRenamed(
         "shingle", "_g"
     )
-    grams = _positional_grams(corpus, id_col, text_col, k)
+    if grams is None:
+        grams = positional_grams(corpus, id_col, text_col, k)
     hits = grams.join(vocab, "_g").select(id_col, "pos")
     return _merge_islands(hits, id_col, k)
 
@@ -1115,13 +1142,14 @@ def remove_contaminated_spans(
     text_col: str,
     bench_text_col: str | None = None,
     k: int = 8,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every eval-set-contaminated span (:func:`contaminated_spans`)
     out of every corpus document, original case preserved — returns
     ``(id, text_clean, n_tokens, n_removed)`` like
     :func:`remove_repeated_spans`."""
     spans = contaminated_spans(
-        corpus, benchmark, id_col, text_col, bench_text_col, k
+        corpus, benchmark, id_col, text_col, bench_text_col, k, grams=grams
     )
     return _cut_spans(corpus, spans, id_col, text_col)
 

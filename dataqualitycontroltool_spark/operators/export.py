@@ -35,6 +35,19 @@ def _shuffle_key(id_col: str, seed: str) -> "F.Column":
     return F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + seed)))
 
 
+def reserve_columns(df: DataFrame, names: list[str], op: str) -> None:
+    """Raise when the caller's frame already carries a column this operator
+    creates (internal temp or output): ``withColumn`` would silently
+    overwrite it and the temps would then be DROPPED on exit, destroying
+    caller data (ADVICE r3).  Shared by every shuffle-key operator."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash} — these names are "
+            "reserved by the operator (rename or drop them first)"
+        )
+
+
 def shard_table(
     df: DataFrame, id_col: str, n_shards: int, seed: str = "42"
 ) -> DataFrame:
@@ -46,6 +59,7 @@ def shard_table(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    reserve_columns(df, ["_h", "shard", "pos"], "shard_table")
     h = _shuffle_key(id_col, seed)
     shard = F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
@@ -95,6 +109,12 @@ def pack_sequences(
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    reserve_columns(
+        df,
+        ["_h", "shard", "pos", "token_offset", "seq_id", "seq_offset",
+         "seq_span"],
+        "pack_sequences",
+    )
     h = _shuffle_key(id_col, seed)
     shard = F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)

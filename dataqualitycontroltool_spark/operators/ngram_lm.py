@@ -45,7 +45,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from dataqualitycontroltool_spark.operators.dedup import let
 
-BOS = "<s>"  # virtual start-of-document context for the first token
+# virtual start-of-document context.  The sentinel contains interior
+# spaces, so it can NEVER collide with a real token: tokens come from a
+# \s+ split and thus cannot contain whitespace (a literal "<s>" in HTML
+# text WOULD survive tokenization and merge with document-start counts).
+BOS = "< s >"
 
 
 def _token_arr(text: Column) -> Column:

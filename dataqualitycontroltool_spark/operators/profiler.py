@@ -363,32 +363,40 @@ def distribution_drift(
     cur_share, psi_term, psi_total)`` — psi_total repeated per row for
     one-pass thresholding (rule of thumb: < 0.1 stable, > 0.25 drifted).
 
-    Plan: a 1-row min/max aggregate over the reference (broadcast), one
-    map-side-combinable bucket-count aggregate per side, a full outer
-    join on the bucket id (10-ish rows), and a 1-row total cross-joined
-    back."""
+    Plan: a 1-row min/max aggregate over the reference — resolved EAGERLY
+    so an empty / all-NULL / all-NaN reference fails LOUDLY here (ADVICE
+    r3: NULL bounds used to put every current row in a NULL bucket and PSI
+    silently read as maximal drift against the 1e-6 floor) and the bounds
+    fold into both bucket projections as literals (the lazy broadcast
+    subplan used to be computed once per side); then one map-side-
+    combinable bucket-count aggregate per side, a full outer join on the
+    bucket id (10-ish rows), and a 1-row total cross-joined back."""
     usable = F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
-    bounds = ref.where(usable).agg(
+    b = ref.where(usable).agg(
         F.min(col).cast("double").alias("_lo"),
         F.max(col).cast("double").alias("_hi"),
-    )
+    ).first()
+    if b._lo is None or b._hi is None:
+        raise ValueError(
+            f"distribution_drift: reference snapshot has no usable "
+            f"(non-NULL, non-NaN) values in column {col!r} — PSI against "
+            "an empty reference is meaningless"
+        )
+    lo, hi = F.lit(float(b._lo)), F.lit(float(b._hi))
 
     def shares(df: DataFrame, name: str) -> DataFrame:
-        w = (F.col("_hi") - F.col("_lo")) / buckets
+        w = (hi - lo) / buckets
         idx = F.when(
-            F.col("_hi") == F.col("_lo"),
-            F.when(F.col(col) == F.col("_lo"), F.lit(0)).otherwise(
-                F.lit(buckets - 1)
-            ),
+            hi == lo,
+            F.when(F.col(col) == lo, F.lit(0)).otherwise(F.lit(buckets - 1)),
         ).otherwise(
             F.least(
-                F.greatest(F.floor((F.col(col) - F.col("_lo")) / w), F.lit(0)),
+                F.greatest(F.floor((F.col(col) - lo) / w), F.lit(0)),
                 F.lit(buckets - 1),
             ).cast("int")
         )
         cnt = (
             df.where(usable)
-            .join(F.broadcast(bounds))
             .groupBy(idx.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("_n"))
         )

@@ -573,3 +573,92 @@ def test_contaminated_spans_cut_only_eval_overlap(spark):
     assert out[2].n_removed == 0 and out[2].text_clean == corpus.collect()[1].text
     spans = dedup.contaminated_spans(corpus, bench, "id", "text", k=3).collect()
     assert [(s.id, s.span_start, s.span_end) for s in spans] == [(1, 2, 4)]
+
+
+# --- ANN recall contract (VERDICT r3 #4): measured, regression-guarded ----
+
+def test_ann_recall_contract(spark):
+    """recall@5 of each approximate path vs brute force at sf0.01 — the
+    per-round measured ANN contract.  Floors sit just under the measured
+    values (ivf 0.925, mp2 0.325, single-probe 0.0) so a regression in
+    bucketing/probing/centroid assignment trips them."""
+    from __spark_entry__ import q_ann_recall
+
+    rows = {r.method: r for r in q_ann_recall(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"bucketed", "bucketed_mp2", "ivf_nprobe2"}
+    assert all(r.n_exact == 40 for r in rows.values())
+    assert rows["ivf_nprobe2"].recall >= 0.9
+    assert rows["bucketed_mp2"].recall >= 0.3
+    # multi-probe can only widen the candidate set
+    assert rows["bucketed_mp2"].recall >= rows["bucketed"].recall
+
+
+def test_multiprobe_equals_hamming_predicate(spark):
+    """The mask-explode multi-probe equi-join must return exactly the
+    hamming<=r predicate join's results (the equivalence the SQL twin
+    relies on)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(4))
+    mp = similarity.bucketed_topk(
+        emb, "vec_id", "embedding", qids, k=3, dim=64, probe_hamming=2
+    )
+    e = similarity._prepared(emb, "vec_id", "embedding").withColumn(
+        "bucket", similarity.sign_bucket(F.col("v"), 8, dim=64)
+    )
+    q = e.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"), F.col("bucket").alias("qb"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+                 F.col("norm").alias("cn"), F.col("bucket"))
+    from dataqualitycontroltool_spark.operators.dedup import dot
+    from pyspark.sql import Window
+    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    pred = (
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb")).cast("bigint")) <= 2
+    ) & (F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    ref = (
+        c.join(F.broadcast(q), pred)
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+    got = sorted(tuple(r) for r in mp.collect())
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want
+
+
+def test_grams_injection_shared_across_span_operators(spark):
+    """VERDICT r3 #7: one positional_grams frame feeds repeated-span
+    detection AND span decontamination with identical results to the
+    self-exploding paths."""
+    corpus_df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    bench = corpus_df.where(F.col("doc_id") % 7 == 0)
+    main = corpus_df.where(F.col("doc_id") % 7 != 0)
+
+    grams = dedup.positional_grams(main, "doc_id", "text", k=3).persist()
+    try:
+        rep_inj = dedup.repeated_span_summary(
+            main, "doc_id", "text", k=3, grams=grams
+        )
+        rep_own = dedup.repeated_span_summary(main, "doc_id", "text", k=3)
+        assert sorted(map(tuple, rep_inj.collect())) == sorted(
+            map(tuple, rep_own.collect())
+        )
+        dec_inj = dedup.remove_contaminated_spans(
+            main, bench, "doc_id", "text", k=3, grams=grams
+        )
+        dec_own = dedup.remove_contaminated_spans(
+            main, bench, "doc_id", "text", k=3
+        )
+        assert sorted(map(tuple, dec_inj.collect())) == sorted(
+            map(tuple, dec_own.collect())
+        )
+        # the injected plan reads the persisted grams (InMemoryRelation) —
+        # its re-explode exists only INSIDE the cache's build plan
+        plan = rep_inj._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+    finally:
+        grams.unpersist()

@@ -11,7 +11,7 @@ from dataqualitycontroltool_spark.operators import ngram_lm
 
 def _ref_bigrams(text):
     toks = text.strip().lower().split()
-    return [("<s>" if i == 0 else toks[i - 1], toks[i])
+    return [(ngram_lm.BOS if i == 0 else toks[i - 1], toks[i])
             for i in range(len(toks))]
 
 
@@ -43,7 +43,7 @@ def test_train_counts_match_reference(spark):
         for pair in _ref_bigrams(t):
             ref[pair] = ref.get(pair, 0) + 1
     assert got == ref
-    assert got[("<s>", "the")] == 2 and got[("the", "cat")] == 2
+    assert got[(ngram_lm.BOS, "the")] == 2 and got[("the", "cat")] == 2
 
 
 def test_score_matches_reference_incl_backoff(spark):
@@ -92,8 +92,8 @@ def _ref_trigrams(text):
     toks = text.strip().lower().split()
     out = []
     for i in range(len(toks)):
-        c2 = "<s>" if i <= 1 else toks[i - 2]
-        c1 = "<s>" if i == 0 else toks[i - 1]
+        c2 = ngram_lm.BOS if i <= 1 else toks[i - 2]
+        c1 = ngram_lm.BOS if i == 0 else toks[i - 1]
         out.append((c2, c1, toks[i]))
     return out
 
@@ -134,7 +134,7 @@ def test_backoff_train_counts_match_reference(spark):
         for tri in _ref_trigrams(t):
             ref[tri] = ref.get(tri, 0) + 1
     assert got == ref
-    assert got[("<s>", "<s>", "the")] == 2 and got[("<s>", "the", "cat")] == 2
+    assert got[(ngram_lm.BOS, ngram_lm.BOS, "the")] == 2 and got[(ngram_lm.BOS, "the", "cat")] == 2
 
 
 def test_backoff_score_matches_reference_all_levels(spark):
@@ -171,3 +171,18 @@ def test_backoff_scorer_plan_has_no_udf(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_literal_s_token_does_not_collide_with_bos(spark):
+    """ADVICE r3: a literal '<s>' token in corpus text (e.g. an HTML tag
+    surviving whitespace tokenization) must stay a REAL token, distinct
+    from the document-start sentinel."""
+    df = spark.createDataFrame([(0, "<s> the <s>")], "doc_id long, text string")
+    got = {(r.context, r.token): r.n
+           for r in ngram_lm.train_bigram_lm(df).collect()}
+    assert got == {
+        (ngram_lm.BOS, "<s>"): 1,
+        ("<s>", "the"): 1,
+        ("the", "<s>"): 1,
+    }
+    assert " " in ngram_lm.BOS  # unreachable via a \s+ split by construction

@@ -301,3 +301,38 @@ def test_completeness_drift_edge_inputs(spark):
     empty = spark.createDataFrame([], "id long, _total string")
     e = {r.column: r for r in completeness_drift(ref, empty).collect()}
     assert e["id"].cur_filled == 0.0 and e["id"].delta == -1.0
+
+
+def test_distribution_drift_empty_reference_raises(spark):
+    """ADVICE r3: an empty / all-NULL reference must fail loudly, not
+    silently report maximal drift against the 1e-6 floor."""
+    import pytest as _pytest
+
+    from dataqualitycontroltool_spark.operators.profiler import distribution_drift
+
+    ref = spark.createDataFrame([(None,), (float("nan"),)], "x double")
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with _pytest.raises(ValueError, match="no usable"):
+        distribution_drift(ref, cur, "x")
+
+
+def test_reserved_column_guards_raise(spark):
+    """ADVICE r3: operators creating _h/_shard/... temp columns must refuse
+    input that already carries those names instead of silently destroying
+    caller data."""
+    import pytest as _pytest
+
+    from dataqualitycontroltool_spark.graft.buckets import bucket_batches
+    from dataqualitycontroltool_spark.operators import corpus
+    from dataqualitycontroltool_spark.operators.export import shard_table
+
+    df = spark.createDataFrame([(1, "en", "x")], "id long, lang string, _h string")
+    with _pytest.raises(ValueError, match="reserved"):
+        corpus.cap_per_group(df, "id", "lang", k=1)
+    with _pytest.raises(ValueError, match="reserved"):
+        shard_table(df, "id", 2)
+    bdf = spark.createDataFrame(
+        [(1, 512, 512, 7)], "image_id long, bucket_w int, bucket_h int, pos int"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        bucket_batches(bdf, batch_size=2)

@@ -605,3 +605,34 @@ def test_corpus_accounting_with_known_duplicates(spark):
     by_id = dict(rows)
     assert r.tokens_after_neardup == r.n_tokens - sum(
         len(by_id[i].split()) for i in dropped)
+
+
+def test_cluster_injection_reuses_one_clustering(spark):
+    """VERDICT r3 #2: one duplicate_clusters result must feed BOTH
+    leakage_safe_split and corpus_accounting (no internal re-clustering),
+    with results identical to the self-computed path."""
+    from dataqualitycontroltool_spark.operators import corpus, dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clusters = dedup.duplicate_clusters(docs, "doc_id", "text", 0.8).persist()
+    try:
+        split_inj = corpus.leakage_safe_split(
+            docs, "doc_id", "text", clusters=clusters
+        )
+        split_own = corpus.leakage_safe_split(docs, "doc_id", "text")
+        assert sorted(map(tuple, split_inj.collect())) == sorted(
+            map(tuple, split_own.collect())
+        )
+        acct_inj = corpus.corpus_accounting(
+            docs, "doc_id", "text", clusters=clusters
+        )
+        acct_own = corpus.corpus_accounting(docs, "doc_id", "text")
+        assert acct_inj.collect() == acct_own.collect()
+        # the injected plans must NOT contain the LSH band-explode stage
+        for df in (split_inj, acct_inj):
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "band_key" not in plan, "injected path still re-clusters"
+    finally:
+        clusters.unpersist()
