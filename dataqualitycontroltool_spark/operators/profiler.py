@@ -221,12 +221,24 @@ def profile_table(
     re-scan per column (the reference's O(cols × file) anti-pattern,
     SURVEY §4.1).
 
-    With ``cache=True`` (default) the validated frame is persisted because
-    every field's profile aggregates it; the CALLER owns the cache
-    lifecycle (unpersist / ``spark.catalog.clearCache()`` / session
-    teardown — same contract as ``dedup.simhash_pairs``).  ``cache=False``
-    leaves no cached state: each profile recomputes the validation scan —
-    prefer it when fields are profiled one-off at corpus scale.
+    FUSED (VERDICT r3 #5): every agg-able statistic — numerical mean/std/
+    min/max/quartiles/outlier bounds, integer min/max/quartiles, date
+    min/max, nominal sorted-categories + distinct count, text distinct
+    count — is computed in ONE wide ``agg()`` over the validated frame
+    (each aggregate skips NULLs, which is exactly the cast-valid filter),
+    plus ONE second wide pass for the numerical outlier counts against the
+    collected bounds.  Only the inherently per-value-distribution pieces —
+    mode and the text top-5/bottom-5 — remain one aggregate job per field.
+    The wide rows (O(fields) scalars) fold back into the returned per-field
+    frames as literals, so collecting a numerical profile afterwards costs
+    nothing and the whole table profiles in 2 scans + one cheap
+    groupBy-count per mode-bearing field, instead of ~4 scans PER FIELD.
+
+    With ``cache=True`` (default) the validated frame is persisted across
+    those scans; the CALLER owns the cache lifecycle (unpersist /
+    ``spark.catalog.clearCache()`` / session teardown — same contract as
+    ``dedup.simhash_pairs``).  ``cache=False`` now costs only the constant
+    scan count above — viable as the common path at corpus scale.
 
     Spec fields absent from the table are skipped (no profile entry) —
     same header-intersection tolerance as ``report_tables``; the missing
@@ -237,20 +249,176 @@ def profile_table(
     validated = ValidationPlan(spec).apply(df, derive=("cast",))
     if cache:
         validated = validated.cache()
+    spark = df.sparkSession
+    d = _STAT_DECIMALS
+
+    # ---- pass A: one wide aggregate for everything agg-able ------------
+    num_fields = [f.name for f in present if f.miptype == "numerical"]
+    aggs = []
+    for f in present:
+        c = F.col(f"{f.name}__cast")
+        n = f.name
+        if f.miptype == "numerical":
+            aggs += [
+                F.round(F.mean(c), d).alias(f"{n}__mean"),
+                F.round(F.stddev_samp(c), d).alias(f"{n}__std"),
+                F.min(c).alias(f"{n}__min"),
+                F.max(c).alias(f"{n}__max"),
+                F.round(
+                    F.mean(c) + threshold * F.stddev_samp(c), d
+                ).alias(f"{n}__ub"),
+                F.round(
+                    F.mean(c) - threshold * F.stddev_samp(c), d
+                ).alias(f"{n}__lb"),
+            ]
+        elif f.miptype == "integer":
+            aggs += [F.min(c).alias(f"{n}__min"), F.max(c).alias(f"{n}__max")]
+        elif f.miptype == "date":
+            aggs += [F.min(c).alias(f"{n}__min"), F.max(c).alias(f"{n}__max")]
+        elif f.miptype == "nominal":
+            aggs += [
+                F.array_join(F.array_sort(F.collect_set(c)), ",").alias(
+                    f"{n}__categories"
+                ),
+                F.countDistinct(c).alias(f"{n}__ndistinct"),
+            ]
+        else:  # text
+            aggs.append(F.countDistinct(c).alias(f"{n}__ndistinct"))
+        if f.miptype in ("numerical", "integer") and exact != "distributed":
+            # exact percentile / approx sketch join the same wide pass;
+            # the 'distributed' strategy runs its own histogram
+            # rank-selection per field below (the 10^12-row-safe path)
+            aggs.append(
+                _quartiles_col(validated, f"{n}__cast", exact).alias(f"{n}__q")
+            )
+    wide = validated.agg(*aggs).first() if aggs else None
+
+    def _w(name):
+        return None if wide is None else wide[name]
+
+    quart: dict[str, list] = {}
+    for f in present:
+        if f.miptype not in ("numerical", "integer"):
+            continue
+        if exact == "distributed":
+            from dataqualitycontroltool_spark.operators.quantiles import (
+                exact_quantiles,
+            )
+
+            sub = validated.where(
+                F.col(f"{f.name}__cast").isNotNull()
+            ).select(F.col(f"{f.name}__cast").alias(f.name))
+            quart[f.name] = exact_quantiles(sub, f.name, [0.25, 0.5, 0.75])
+        else:
+            q = _w(f"{f.name}__q")
+            quart[f.name] = list(q) if q is not None else [None, None, None]
+
+    # ---- pass B: one wide aggregate for the numerical outlier counts ---
+    outliers: dict[str, int] = {}
+    if num_fields:
+        oaggs = []
+        for n in num_fields:
+            ub, lb = _w(f"{n}__ub"), _w(f"{n}__lb")
+            c = F.col(f"{n}__cast")
+            cond = (
+                F.lit(False)
+                if ub is None or lb is None
+                else (c >= F.lit(float(ub))) | (c <= F.lit(float(lb)))
+            )
+            oaggs.append(
+                F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(n)
+            )
+        orow = validated.agg(*oaggs).first()
+        outliers = {n: int(orow[n]) for n in num_fields}
+
+    # ---- assemble per-field frames: literals + the per-field modes -----
+    def lit_of(v, dtype):
+        # always cast: a Python int literal is LongType, but the cast
+        # column (hence the old per-field aggregate) may be int/double
+        return F.lit(v).cast(dtype)
+
     out = {}
     for f in present:
         col = f"{f.name}__cast"
-        sub = validated.where(F.col(col).isNotNull()).select(F.col(col).alias(f.name))
+        dtype = validated.schema[col].dataType.simpleString()
+        n = f.name
+        sub = validated.where(F.col(col).isNotNull()).select(
+            F.col(col).alias(n)
+        )
+        one = spark.range(1)
         if f.miptype == "numerical":
-            out[f.name] = profile_numerical(sub, f.name, threshold, exact)
+            qd = [
+                None if q is None else round(float(q), d)
+                for q in quart[n]
+            ]
+            out[n] = one.select(
+                lit_of(_w(f"{n}__mean"), "double").alias("mean"),
+                lit_of(_w(f"{n}__std"), "double").alias("std"),
+                lit_of(_w(f"{n}__min"), dtype).alias("min"),
+                lit_of(_w(f"{n}__max"), dtype).alias("max"),
+                lit_of(qd[0], "double").alias("q1"),
+                lit_of(qd[1], "double").alias("median"),
+                lit_of(qd[2], "double").alias("q3"),
+                lit_of(_w(f"{n}__ub"), "double").alias("upperbound"),
+                lit_of(_w(f"{n}__lb"), "double").alias("lowerbound"),
+                F.lit(outliers.get(n, 0)).cast("bigint").alias("outliers"),
+            )
         elif f.miptype == "integer":
-            out[f.name] = profile_integer(sub, f.name, exact)
+            qi = [None if q is None else int(q) for q in quart[n]]
+            stats = one.select(
+                lit_of(_w(f"{n}__min"), dtype).alias("min"),
+                lit_of(_w(f"{n}__max"), dtype).alias("max"),
+                lit_of(qi[0], "bigint").alias("q1"),
+                lit_of(qi[1], "bigint").alias("median"),
+                lit_of(qi[2], "bigint").alias("q3"),
+            )
+            out[n] = _mode_df(sub, n).join(F.broadcast(stats)).select(
+                "mode", "freq", "min", "max", "q1", "median", "q3"
+            )
         elif f.miptype == "date":
-            out[f.name] = profile_date(sub, f.name)
+            stats = one.select(
+                lit_of(_w(f"{n}__min"), dtype).alias("min"),
+                lit_of(_w(f"{n}__max"), dtype).alias("max"),
+            )
+            out[n] = _mode_df(sub, n).join(F.broadcast(stats)).select(
+                "mode", "freq", "min", "max"
+            )
         elif f.miptype == "nominal":
-            out[f.name] = profile_nominal(sub, f.name)
-        else:
-            out[f.name] = profile_text(sub, f.name)
+            stats = one.select(
+                lit_of(_w(f"{n}__categories"), "string").alias("categories"),
+                F.lit(_w(f"{n}__ndistinct")).cast("bigint").alias(
+                    "categories_num"
+                ),
+            )
+            out[n] = _mode_df(sub, n).join(F.broadcast(stats)).select(
+                F.col("mode").alias("top"), "freq", "categories",
+                "categories_num",
+            )
+        else:  # text: distinct from the wide pass; mode/top5/bottom5 per field
+            counts = sub.groupBy(n).count()
+            top5 = (
+                counts.orderBy(F.col("count").desc(), F.col(n).asc())
+                .limit(5)
+                .agg(F.array_join(F.collect_list(n), ",").alias("top5"))
+            )
+            bottom5 = (
+                counts.orderBy(F.col("count").asc(), F.col(n).asc())
+                .limit(5)
+                .agg(F.array_join(F.collect_list(n), ",").alias("bottom5"))
+            )
+            uniq = one.select(
+                F.lit(_w(f"{n}__ndistinct")).cast("bigint").alias("unique")
+            )
+            out[n] = (
+                _mode_df(sub, n)
+                .join(F.broadcast(uniq))
+                .join(F.broadcast(top5))
+                .join(F.broadcast(bottom5))
+                .select(
+                    "unique", F.col("mode").alias("top"), "freq", "top5",
+                    "bottom5",
+                )
+            )
     return out
 
 

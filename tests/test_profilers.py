@@ -336,3 +336,59 @@ def test_reserved_column_guards_raise(spark):
     )
     with _pytest.raises(ValueError, match="reserved"):
         bucket_batches(bdf, batch_size=2)
+
+
+def test_profile_table_fused_scan_shape(spark):
+    """VERDICT r3 #5: the agg-able stats run in ONE wide pass + ONE outlier
+    pass at call time; a numerical field's returned profile is pure
+    literals (no source scan when collected)."""
+    from dataqualitycontroltool_spark.operators import profiler
+    from dataqualitycontroltool_spark.specs import TableSpec
+
+    spec = TableSpec.from_descriptor({"fields": [
+        {"name": "l_quantity", "type": "number", "MIPType": "numerical"},
+        {"name": "l_extendedprice", "type": "number", "MIPType": "numerical"},
+        {"name": "l_linenumber", "type": "integer", "MIPType": "integer"},
+        {"name": "l_returnflag", "type": "string", "MIPType": "nominal",
+         "constraints": {"enum": ["A", "N", "R"]}},
+        {"name": "l_shipmode", "type": "string", "MIPType": "text"},
+    ], "missingValues": [""]})
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    sc = spark.sparkContext
+
+    def eager_jobs(group, s):
+        sc.setJobGroup(group, "profile_table eager phase")
+        try:
+            p = profiler.profile_table(li, s, cache=False)
+        finally:
+            sc.setJobGroup(None, None)
+        return p, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    small = TableSpec.from_descriptor(
+        {"fields": [
+            {"name": "l_quantity", "type": "number", "MIPType": "numerical"},
+        ], "missingValues": [""]}
+    )
+    _, jobs_small = eager_jobs("fuse-test-small", small)
+    profs, jobs_full = eager_jobs("fuse-test-full", spec)
+    # the eager phase is two wide aggregates (pass A + pass B); AQE splits
+    # each into a few stage-jobs and the countDistinct Expand (present only
+    # when nominal/text fields exist) adds one more — but the count must be
+    # ~CONSTANT in the number of fields, not ~4 jobs per field as before
+    # the fuse (5 fields would read >= 10 here pre-fuse)
+    assert jobs_full <= jobs_small + 2, (
+        f"eager jobs grew with field count: {jobs_small} -> {jobs_full}"
+    )
+
+    # numerical profiles are literal rows: collecting them never rescans
+    for n in ("l_quantity", "l_extendedprice"):
+        plan = profs[n]._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" not in plan.lower()
+        row = profs[n].collect()[0]
+        assert row.q1 <= row.median <= row.q3
+        assert row.outliers >= 0
+    # mode-bearing fields still verify against the direct per-field ops
+    sub = li.select(F.col("l_linenumber").cast("bigint").alias("l_linenumber"))
+    direct = profiler.profile_integer(sub, "l_linenumber").collect()
+    assert profs["l_linenumber"].collect() == direct
