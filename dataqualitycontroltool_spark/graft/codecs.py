@@ -11,8 +11,11 @@ The container ships no imaging library (no PIL/opencv/libjpeg), so:
   remains the synthetic-data default for bench continuity.  Both preserve
   the property the pipeline verifies (decode(encode(x)) ≈ x with
   PSNR ≥ 40 dB, see BASELINE.json input_hint).
-* ``webp`` — stand-in only (a real VP8 codec is out of scope); real WebP
-  bitstreams require PIL, gated behind an import-try.
+* ``webp`` — TWO paths as well: a REAL lossless VP8L codec in pure
+  numpy (`graft/vp8l.py` — genuine RIFF/WEBP bitstreams, readable by any
+  WebP decoder) for streams with the VP8L chunk, and the deterministic
+  stand-in (magic ``QWBP``) as the synthetic-data default.  Lossy VP8
+  streams remain out of scope (PIL path gated behind an import-try).
 
 The Spark-side plumbing (binary column, Arrow-batched decode UDF, PSNR
 validation, dimension checks) is real and tested; for JPEG the bitstream
@@ -202,6 +205,21 @@ def encode(rgb: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def webp_encode(rgb: np.ndarray, cache_bits: int = 6) -> bytes:
+    """Encode a REAL lossless WebP (RIFF/VP8L) bitstream (pure numpy)."""
+    from dataqualitycontroltool_spark.graft import vp8l
+
+    return vp8l.encode(rgb, cache_bits=cache_bits)
+
+
+def webp_roundtrip(rgb: np.ndarray) -> np.ndarray:
+    """decode(encode(x)) through the REAL VP8L codec — exact identity
+    (lossless), pinned by tests/test_vp8l.py."""
+    from dataqualitycontroltool_spark.graft import vp8l
+
+    return vp8l.decode(vp8l.encode(rgb))
+
+
 def jpeg_encode(rgb: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
     """Encode a REAL baseline T.81/JFIF JPEG bitstream (pure numpy)."""
     from dataqualitycontroltool_spark.graft import jpeg
@@ -242,6 +260,17 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
                 if isinstance(exc, ValueError):
                     raise
                 raise ValueError(f"malformed JPEG stream: {exc}") from exc
+        if fmt == "webp" and data[:4] == b"RIFF":
+            from dataqualitycontroltool_spark.graft import vp8l
+
+            if vp8l.is_vp8l(bytes(data[:16])):
+                try:
+                    return vp8l.decode(bytes(data))
+                except ValueError:
+                    raise
+                except Exception as exc:  # malformed containers -> loud
+                    raise ValueError(f"malformed VP8L stream: {exc}") from exc
+            # RIFF but not VP8L: lossy VP8 / extended VP8X need PIL
         if HAVE_PIL:
             return pil_decode(data)  # pragma: no cover — no PIL here
         raise ValueError(f"real {fmt} bitstream but no codec library (PIL)")

