@@ -57,6 +57,7 @@ def main() -> None:
         "queries": timings,
         "graft": _graft_throughput(spark, cpus),
         "graft_real_jpeg": _graft_real_jpeg(spark),
+        "graft_real_webp": _graft_real_webp(spark),
         "dicom_10k": _dicom_scale(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
@@ -131,6 +132,30 @@ def _graft_real_jpeg(spark, rows: int = 4000) -> dict:
     run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_rjwarm")
     t0 = time.perf_counter()
     run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_rjout")
+    wall = time.perf_counter() - t0
+    return {"rows": n, "wall_s": round(wall, 2),
+            "images_per_sec": round(n / wall, 1)}
+
+
+def _graft_real_webp(spark, rows: int = 4000) -> dict:
+    """Same pipeline over a corpus where every webp row (~15% of rows) is a
+    GENUINE lossless RIFF/VP8L bitstream decoded by the built-in numpy
+    codec (graft/vp8l.py) — the real-WebP twin of _graft_real_jpeg, new in
+    r4 with the VP8L codec."""
+    from pyspark.sql import functions as F
+
+    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
+    from dataqualitycontroltool_spark.graft.synth import write_images
+
+    path = f"/tmp/dqc_bench_realwebp_{rows}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_images(spark, path, rows, n_partitions=32, real_webp_frac=1.0)
+    df = spark.read.parquet(path)
+    n = df.count()
+    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
+    run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_rwwarm")
+    t0 = time.perf_counter()
+    run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_rwout")
     wall = time.perf_counter() - t0
     return {"rows": n, "wall_s": round(wall, 2),
             "images_per_sec": round(n / wall, 1)}

@@ -80,50 +80,68 @@ _TRANSFORM_COLOR_INDEXING = 3
 
 
 class _BitWriter:
+    """Accumulates (value, nbits) items and packs them ONCE, vectorized —
+    per-bit Python loops were the encoder's dominant cost (35 ms/64²
+    image); one numpy expand+mask+packbits pass replaces them."""
+
     def __init__(self) -> None:
-        self._out = bytearray()
-        self._acc = 0
-        self._n = 0
+        self._vals: list[int] = []
+        self._lens: list[int] = []
 
     def write_bits(self, value: int, n: int) -> None:
         """n plain bits, LSB-first (the ReadBits(n) convention)."""
-        self._acc |= (value & ((1 << n) - 1)) << self._n
-        self._n += n
-        while self._n >= 8:
-            self._out.append(self._acc & 0xFF)
-            self._acc >>= 8
-            self._n -= 8
+        if n:
+            self._vals.append(value & ((1 << n) - 1))
+            self._lens.append(n)
 
     def write_code(self, code: int, length: int) -> None:
         """A canonical prefix code: the decoder consumes the code's MSB
-        first, so emit bits from the top down."""
-        for i in range(length - 1, -1, -1):
-            self.write_bits((code >> i) & 1, 1)
+        first, so store it bit-reversed (stream order == read order)."""
+        self.write_bits(_reverse_bits(code, length), length)
 
     def bytes(self) -> bytes:
-        out = bytes(self._out)
-        if self._n:
-            out += bytes([self._acc & 0xFF])
-        return out
+        if not self._vals:
+            return b""
+        vals = np.asarray(self._vals, dtype=np.int64)
+        lens = np.asarray(self._lens, dtype=np.int64)
+        width = int(lens.max())
+        bitmat = (vals[:, None] >> np.arange(width)[None, :]) & 1
+        mask = np.arange(width)[None, :] < lens[:, None]
+        bits = bitmat[mask].astype(np.uint8)  # row-major: stream order
+        return np.packbits(bits, bitorder="little").tobytes()
 
 
 class _BitReader:
+    """Bit reader over a precomputed sliding 15-bit window: every position's
+    next-15-bits value is materialized once (vectorized), so read_bits is
+    one mask and prefix decode is one LUT lookup — the same packed-LUT
+    move that took the JPEG decoder from 67 to 10 ms/image."""
+
+    PEEK = MAX_CODE_LENGTH  # 15: max prefix-code length == max field width
+
     def __init__(self, data: bytes) -> None:
-        self._d = data
-        self._pos = 0  # bit position
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        arr = np.frombuffer(data, dtype=np.uint8)
+        bits = np.unpackbits(arr, bitorder="little")
+        self._nbits = int(bits.size)
+        padded = np.concatenate([bits, np.zeros(self.PEEK, np.uint8)])
+        pows = (1 << np.arange(self.PEEK)).astype(np.int32)
+        self._peek = sliding_window_view(padded, self.PEEK) @ pows
+        self._pos = 0
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte_i, bit_i = divmod(self._pos, 8)
-            if byte_i >= len(self._d):
-                raise ValueError("VP8L: truncated stream")
-            v |= ((self._d[byte_i] >> bit_i) & 1) << i
-            self._pos += 1
+        if n == 0:
+            return 0
+        if self._pos + n > self._nbits:
+            raise ValueError("VP8L: truncated stream")
+        v = int(self._peek[self._pos]) & ((1 << n) - 1)
+        self._pos += n
         return v
 
     def read_symbol(self, table: dict[tuple[int, int], int], single) -> int:
-        """Walk a canonical prefix code bit by bit: code = (code<<1)|bit."""
+        """Walk a canonical prefix code bit by bit: code = (code<<1)|bit.
+        (Used for the header/code-length phase; the pixel loop uses LUTs.)"""
         if single is not None:  # 0-bit code (one-symbol table)
             return single
         code = 0
@@ -133,6 +151,44 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("VP8L: invalid prefix code in stream")
+
+    def read_lut(self, lut) -> int:
+        """One prefix symbol via the packed LUT (see :func:`_lut_of`)."""
+        lut_sym, lut_len, single = lut
+        if single is not None:
+            return single
+        key = int(self._peek[self._pos])
+        ln = int(lut_len[key])
+        if ln == 0:
+            raise ValueError("VP8L: invalid prefix code in stream")
+        if self._pos + ln > self._nbits:
+            raise ValueError("VP8L: truncated stream")
+        self._pos += ln
+        return int(lut_sym[key])
+
+
+def _reverse_bits(code: int, length: int) -> int:
+    rv = 0
+    for _ in range(length):
+        rv = (rv << 1) | (code & 1)
+        code >>= 1
+    return rv
+
+
+def _lut_of(table: dict[tuple[int, int], int], single):
+    """(table, single) from :func:`_decode_table` -> (sym[32768],
+    len[32768], single) where the index is the next 15 stream bits (first
+    read bit = LSB): every key whose low bits spell a code's read-order
+    prefix resolves in one lookup."""
+    if single is not None:
+        return None, None, single
+    lut_sym = np.zeros(1 << MAX_CODE_LENGTH, dtype=np.int32)
+    lut_len = np.zeros(1 << MAX_CODE_LENGTH, dtype=np.uint8)
+    for (length, code), sym in table.items():
+        base = _reverse_bits(code, length)
+        lut_sym[base :: 1 << length] = sym
+        lut_len[base :: 1 << length] = length
+    return lut_sym, lut_len, None
 
 
 # ---------------------------------------------------------------------------
@@ -394,12 +450,15 @@ def encode(
         | (g.astype(np.uint32) << 8)
         | b.astype(np.uint32)
     ).ravel()
-    n = argb.size
+    n = len(argb)
 
     # tokenize: literals, dist-1 runs (>= 3 px), optional color-cache hits.
     # run boundaries come from one vectorized diff; the per-token loop is
     # then over tokens, not pixels, for run-heavy images.
-    same_as_prev = np.concatenate(([False], argb[1:] == argb[:-1]))
+    # plain Python lists: per-element numpy scalar indexing in the token
+    # loop costs ~3x list indexing
+    same_as_prev = np.concatenate(([False], argb[1:] == argb[:-1])).tolist()
+    argb = argb.tolist()
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
     tokens: list[tuple] = []  # ("lit",argb) ("run",length) ("cache",idx)
@@ -429,12 +488,12 @@ def encode(
                     # the decoder inserts every COPIED pixel into its cache;
                     # mirror it or later cache-hit symbols replay wrong (a
                     # dist-1 run copies one value, so one insert covers it)
-                    pxr = int(argb[i])
+                    pxr = argb[i]
                     cache[_cache_key(pxr, cache_bits)] = pxr
                 i += run
                 continue
             # short runs fall through pixel-by-pixel (cache may cover them)
-        px = int(argb[i])
+        px = argb[i]
         if cache_bits:
             k = _cache_key(px, cache_bits)
             if cache[k] == px:
@@ -558,11 +617,11 @@ def decode(data: bytes) -> np.ndarray:
     if br.read_bits(1):
         raise ValueError("VP8L: meta prefix codes are out of scope")
 
-    g_tab = _read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size)
-    r_tab = _read_prefix_code(br, NUM_LITERAL)
-    b_tab = _read_prefix_code(br, NUM_LITERAL)
-    a_tab = _read_prefix_code(br, NUM_LITERAL)
-    d_tab = _read_prefix_code(br, NUM_DISTANCE)
+    g_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size))
+    r_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL))
+    b_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL))
+    a_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL))
+    d_tab = _lut_of(*_read_prefix_code(br, NUM_DISTANCE))
 
     n = w * h
     out = np.zeros(n, dtype=np.uint32)
@@ -570,12 +629,12 @@ def decode(data: bytes) -> np.ndarray:
     cache_set = [False] * cache_size
     i = 0
     while i < n:
-        s = br.read_symbol(*g_tab)
+        s = br.read_lut(g_tab)
         if s < NUM_LITERAL:
             gg = s
-            rr = br.read_symbol(*r_tab)
-            bb = br.read_symbol(*b_tab)
-            aa = br.read_symbol(*a_tab)
+            rr = br.read_lut(r_tab)
+            bb = br.read_lut(b_tab)
+            aa = br.read_lut(a_tab)
             px = (aa << 24) | (rr << 16) | (gg << 8) | bb
             out[i] = px
             if cache_bits:
@@ -585,7 +644,7 @@ def decode(data: bytes) -> np.ndarray:
             i += 1
         elif s < NUM_LITERAL + NUM_LENGTH:
             length = _lz77_decode(br, s - NUM_LITERAL)
-            dist_code = _lz77_decode(br, br.read_symbol(*d_tab))
+            dist_code = _lz77_decode(br, br.read_lut(d_tab))
             if dist_code > 120:
                 dist = dist_code - 120
             else:
