@@ -220,3 +220,23 @@ def _run(fn, state, events, wm_ms):
     state.hasTimedOut = False
     pdf = pd.DataFrame(events, columns=["ts", "value"])
     return list(fn((1,), iter([pdf]), state))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    palette=st.integers(2, 256),
+    sg=st.booleans(),
+    cb=st.sampled_from([0, 3, 6]),
+)
+def test_vp8l_roundtrip_exact(w, h, seed, palette, sg, cb):
+    """Lossless WebP: decode(encode(x)) == x for arbitrary sizes, palettes
+    (run/cache-heavy at small palettes), transforms and cache settings."""
+    from dataqualitycontroltool_spark.graft import vp8l
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, palette, (h, w, 3)).astype(np.uint8)
+    data = vp8l.encode(img, subtract_green=sg, cache_bits=cb)
+    assert np.array_equal(vp8l.decode(data), img)
