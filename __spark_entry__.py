@@ -256,9 +256,19 @@ def q_ann_recall(spark, sf_dir):
     joins + 1-row aggregates — the exact result is by construction
     queries×k rows, so nothing here is ever large."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.brute_force_topk(
+    # the exact result is by construction queries*k rows: materialize it
+    # ONCE (bounded driver transfer, like the GD gradients) instead of
+    # letting the O(corpus) brute-force subplan recompute inside all three
+    # union branches' semi-joins AND each branch's totals cross-join
+    # (review r4: ~6 full corpus scans; persist gotcha #6 without the
+    # persisted-state residue a queries() entry must not leave behind)
+    exact_rows = similarity.brute_force_topk(
         emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").collect()
+    exact = spark.createDataFrame(
+        [(int(r.query_id), int(r.neighbor_id)) for r in exact_rows],
+        "query_id bigint, neighbor_id bigint",
+    )
     approx = {
         "bucketed": similarity.bucketed_topk(
             emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, dim=EMB_DIM

@@ -85,13 +85,15 @@ def _persist_full_artifact(line: str) -> None:
             if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
         ]
         rnd = str(max(seen, default=0) + 1)
-    out = root / "BENCH" / f"r{int(rnd):02d}_full.json"
     try:
+        out = root / "BENCH" / f"r{int(rnd):02d}_full.json"
         out.parent.mkdir(exist_ok=True)
         out.write_text(line + "\n")
         print(f"full bench artifact: {out}", file=sys.stderr)
-    except OSError as exc:  # never fail the bench over the side artifact
-        print(f"could not write {out}: {exc}", file=sys.stderr)
+    except (OSError, ValueError) as exc:
+        # never fail the bench over the side artifact (a non-numeric
+        # $SPARK_GRAFT_ROUND lands here too)
+        print(f"could not write full bench artifact: {exc}", file=sys.stderr)
 
 
 def _dicom_scale(spark, n_files: int = 10_000) -> dict:

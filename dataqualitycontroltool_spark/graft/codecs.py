@@ -205,6 +205,15 @@ def encode(rgb: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def is_lossless_webp(head: bytes) -> bool:
+    """True for a RIFF/WEBP container whose first chunk is VP8L (lossless).
+    Callers pass the first 16 bytes; lossy VP8 / extended VP8X return
+    False and take the real-round-trip PSNR path."""
+    from dataqualitycontroltool_spark.graft import vp8l
+
+    return vp8l.is_vp8l(head)
+
+
 def webp_encode(rgb: np.ndarray, cache_bits: int = 6) -> bytes:
     """Encode a REAL lossless WebP (RIFF/VP8L) bitstream (pure numpy)."""
     from dataqualitycontroltool_spark.graft import vp8l
@@ -266,9 +275,15 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
             if vp8l.is_vp8l(bytes(data[:16])):
                 try:
                     return vp8l.decode(bytes(data))
-                except ValueError:
-                    raise
-                except Exception as exc:  # malformed containers -> loud
+                except Exception as exc:
+                    # spec shapes the built-in decoder scopes out
+                    # (predictor/cross-color/indexing transforms, meta
+                    # prefix codes — libwebp emits them routinely) fall
+                    # back to PIL exactly like the JPEG branch above
+                    if HAVE_PIL:
+                        return pil_decode(data)  # pragma: no cover — no PIL
+                    if isinstance(exc, ValueError):
+                        raise
                     raise ValueError(f"malformed VP8L stream: {exc}") from exc
             # RIFF but not VP8L: lossy VP8 / extended VP8X need PIL
         if HAVE_PIL:

@@ -50,10 +50,13 @@ def check_bytes(data: bytes | None, fmt: str | None) -> tuple[bool, int | None, 
             p = codecs.psnr(img, codecs.lossy_roundtrip(img))
         elif fmt == "jpeg":
             p = codecs.psnr(img, codecs.jpeg_roundtrip(img))
-        elif fmt == "webp" and bytes(data[:4]) == b"RIFF":
+        elif fmt == "webp" and codecs.is_lossless_webp(bytes(data[:16])):
             # real VP8L is LOSSLESS: decode(encode(x)) == x exactly
             # (pinned in tests/test_vp8l.py), so the round-trip is the
-            # identity and PSNR is inf by construction — no second decode
+            # identity and PSNR is inf by construction — no second decode.
+            # Guard on the VP8L chunk specifically: a lossy VP8 stream
+            # (PIL-decoded) must still pay the real round-trip below, or
+            # a degraded image would skip the PSNR >= 40 gate entirely
             p = float("inf")
         else:
             p = codecs.psnr(img, codecs.pil_roundtrip(img, fmt))  # pragma: no cover

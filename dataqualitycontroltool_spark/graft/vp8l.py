@@ -438,6 +438,10 @@ def encode(
     h, w, _ = rgb.shape
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("VP8L dimensions must be 1..16384")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        # the header field is 4 bits and the spec caps the cache at 2^11;
+        # out-of-range values would emit a stream every decoder rejects
+        raise ValueError(f"cache_bits must be 0 or 1..11, got {cache_bits}")
     r = rgb[:, :, 0].astype(np.int32)
     g = rgb[:, :, 1].astype(np.int32)
     b = rgb[:, :, 2].astype(np.int32)

@@ -347,8 +347,14 @@ def profile_table(
         )
         one = spark.range(1)
         if f.miptype == "numerical":
+            # round INSIDE the plan (F.round = HALF_UP on the shortest
+            # decimal repr — review r4: Python round() is half-even on the
+            # binary double and diverges on ~5% of 7-decimal values, which
+            # would break parity with profile_numerical / the oracles)
             qd = [
-                None if q is None else round(float(q), d)
+                F.lit(None).cast("double")
+                if q is None
+                else F.round(F.lit(float(q)), d).cast("double")
                 for q in quart[n]
             ]
             out[n] = one.select(
@@ -356,9 +362,9 @@ def profile_table(
                 lit_of(_w(f"{n}__std"), "double").alias("std"),
                 lit_of(_w(f"{n}__min"), dtype).alias("min"),
                 lit_of(_w(f"{n}__max"), dtype).alias("max"),
-                lit_of(qd[0], "double").alias("q1"),
-                lit_of(qd[1], "double").alias("median"),
-                lit_of(qd[2], "double").alias("q3"),
+                qd[0].alias("q1"),
+                qd[1].alias("median"),
+                qd[2].alias("q3"),
                 lit_of(_w(f"{n}__ub"), "double").alias("upperbound"),
                 lit_of(_w(f"{n}__lb"), "double").alias("lowerbound"),
                 F.lit(outliers.get(n, 0)).cast("bigint").alias("outliers"),

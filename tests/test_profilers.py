@@ -388,7 +388,13 @@ def test_profile_table_fused_scan_shape(spark):
         row = profs[n].collect()[0]
         assert row.q1 <= row.median <= row.q3
         assert row.outliers >= 0
-    # mode-bearing fields still verify against the direct per-field ops
+    # fused results must equal the direct per-field operators bit-exactly
+    # (review r4: Python round() vs F.round diverges on ~5% of values —
+    # the numerical comparison below pins Spark HALF_UP rounding)
     sub = li.select(F.col("l_linenumber").cast("bigint").alias("l_linenumber"))
     direct = profiler.profile_integer(sub, "l_linenumber").collect()
     assert profs["l_linenumber"].collect() == direct
+    for n in ("l_quantity", "l_extendedprice"):
+        nsub = li.select(F.col(n).cast("double").alias(n))
+        dnum = profiler.profile_numerical(nsub, n).collect()
+        assert profs[n].collect() == dnum
