@@ -13,18 +13,22 @@ so the pipeline's PSNR >= 40 dB invariant holds with PSNR = inf).
 
 Encoder scope (a valid, conservative subset — every output is a conformant
 stream any WebP decoder reads):
-* transforms: none or SUBTRACT_GREEN (default on — it is free to invert
-  and improves entropy on natural images);
+* transforms: SUBTRACT_GREEN (default on — free to invert, improves
+  entropy on natural images) and PREDICTOR (``predictor_bits``: per-block
+  best-of-14 spatial prediction with the mode grid written as an
+  entropy-coded sub-image — the decisive win on smooth images);
 * LZ77: greedy runs of the previous pixel (distance 1) — the dominant
   redundancy in flat/synthetic regions; everything else is literals;
 * color cache: optional (``cache_bits``), mirroring the decoder's insert
   discipline exactly;
-* one prefix-code group (no meta-prefix image), ARGB with constant alpha.
+* one prefix-code group (no meta-prefix image).
 
 Decoder scope: everything the encoder emits plus the full literal/LZ77/
-color-cache symbol space and both "simple" and "normal" prefix-code forms;
-streams using the predictor / cross-color / color-indexing transforms or
-meta prefix codes raise ``ValueError`` (never silent garbage) — the same
+color-cache symbol space, both "simple" and "normal" prefix-code forms,
+and the SUBTRACT_GREEN + PREDICTOR inverse transforms (all 14 predictor
+modes, spec edge rules incl. the contiguous-buffer top-right wrap);
+streams using the cross-color / color-indexing transforms or meta prefix
+codes raise ``ValueError`` (never silent garbage) — the same
 explicit-subset policy as the baseline JPEG codec.
 
 Reference parity: plays the reference's DICOM pixel-validation role
@@ -429,31 +433,215 @@ def _cache_key(argb: int, bits: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode(
-    rgb: np.ndarray, subtract_green: bool = True, cache_bits: int = 0
-) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a real lossless WebP file."""
-    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
-        raise ValueError("encode expects (h, w, 3) uint8")
-    h, w, _ = rgb.shape
-    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
-        raise ValueError("VP8L dimensions must be 1..16384")
-    if cache_bits and not 1 <= cache_bits <= 11:
-        # the header field is 4 bits and the spec caps the cache at 2^11;
-        # out-of-range values would emit a stream every decoder rejects
-        raise ValueError(f"cache_bits must be 0 or 1..11, got {cache_bits}")
-    r = rgb[:, :, 0].astype(np.int32)
-    g = rgb[:, :, 1].astype(np.int32)
-    b = rgb[:, :, 2].astype(np.int32)
-    if subtract_green:
-        r = (r - g) & 0xFF
-        b = (b - g) & 0xFF
-    argb = (
-        (np.uint32(0xFF) << 24)
+def _shift_flat(f: np.ndarray, k: int, n: int) -> np.ndarray:
+    """out[i] = f[i - k] over the flat raster (zeros where i < k) — the
+    contiguous-buffer neighbor rule the spec's predictors use (notably:
+    top-right at x = w-1 wraps to the CURRENT row's leftmost pixel)."""
+    out = np.zeros(n, f.dtype)
+    if k < n:
+        out[k:] = f[: n - k]
+    return out
+
+
+def _predictor_set(ch, w: int, h: int):
+    """All 14 spec predictors, vectorized over the flat raster: a list of
+    14 tuples of 4 per-channel int32 arrays.  Values at forced-edge
+    positions (row 0 / column 0 / origin) are garbage here — callers mask
+    or override them."""
+    n = w * h
+    L = [_shift_flat(f, 1, n) for f in ch]
+    T = [_shift_flat(f, w, n) for f in ch]
+    TL = [_shift_flat(f, w + 1, n) for f in ch]
+    TR = [_shift_flat(f, max(w - 1, 1), n) for f in ch]
+
+    def avg2(p, q):
+        return [(x + y) >> 1 for x, y in zip(p, q)]
+
+    black = [np.full(n, 255, np.int32)] + [np.zeros(n, np.int32)] * 3
+    # mode 11: Select(T, L, TL) — libwebp's Sub3 formulation
+    diff = np.zeros(n, np.int64)
+    for lc, tc, tlc in zip(L, T, TL):
+        diff += np.abs(lc - tlc) - np.abs(tc - tlc)
+    sel = [np.where(diff <= 0, tc, lc) for lc, tc in zip(L, T)]
+    # mode 12: per-channel clamp(L + T - TL)
+    casf = [np.clip(lc + tc - tlc, 0, 255) for lc, tc, tlc in zip(L, T, TL)]
+    # mode 13: clamp(ave2(L,T) + trunc((ave2 - TL) / 2))  (C truncation)
+    cash = []
+    for lc, tc, tlc in zip(L, T, TL):
+        ave = (lc + tc) >> 1
+        d = ave - tlc
+        cash.append(np.clip(ave + np.sign(d) * (np.abs(d) >> 1), 0, 255))
+    return [
+        black,                 # 0
+        L,                     # 1
+        T,                     # 2
+        TR,                    # 3
+        TL,                    # 4
+        avg2(avg2(L, TR), T),  # 5
+        avg2(L, TL),           # 6
+        avg2(L, T),            # 7
+        avg2(TL, T),           # 8
+        avg2(T, TR),           # 9
+        avg2(avg2(L, TL), avg2(T, TR)),  # 10
+        sel,                   # 11
+        casf,                  # 12
+        cash,                  # 13
+    ]
+
+
+def _forward_predictor(ch, w: int, h: int, block_bits: int):
+    """Pick the best predictor per 2^bits-square block (minimum wrapped
+    |residual| mass, ties to the lowest mode) and return the mode grid as
+    a sub-image ARGB array plus the per-channel residuals."""
+    n = w * h
+    ch = [np.asarray(f).ravel().astype(np.int32) for f in ch]
+    preds = _predictor_set(ch, w, h)
+    i_idx = np.arange(n)
+    free = (i_idx >= w) & (i_idx % w != 0)  # edges have FORCED predictors
+    costs = np.empty((14, n), np.int64)
+    for m, p in enumerate(preds):
+        c = np.zeros(n, np.int64)
+        for f, pf in zip(ch, p):
+            res = (f - pf) & 0xFF
+            c += np.minimum(res, 256 - res)
+        costs[m] = np.where(free, c, 0)
+    bs = 1 << block_bits
+    tw, th = -(-w // bs), -(-h // bs)
+    padded = np.zeros((14, th * bs, tw * bs), np.int64)
+    padded[:, :h, :w] = costs.reshape(14, h, w)
+    blk = padded.reshape(14, th, bs, tw, bs).sum(axis=(2, 4))
+    modes = blk.argmin(axis=0).astype(np.int32)  # (th, tw)
+
+    mode_px = np.repeat(np.repeat(modes, bs, 0), bs, 1)[:h, :w].ravel()
+    sel = []
+    for c in range(4):
+        st = np.stack([p[c] for p in preds])
+        pc = st[mode_px, i_idx]
+        pc = np.where(i_idx < w, preds[1][c], pc)  # row 0 -> L
+        pc = np.where(i_idx % w == 0, preds[2][c], pc)  # col 0 -> T
+        sel.append(pc)
+    for c, v in enumerate((255, 0, 0, 0)):  # origin -> opaque black
+        sel[c][0] = v
+    residuals = tuple((f - pc) & 0xFF for f, pc in zip(ch, sel))
+    zeros = np.zeros(modes.size, np.int32)
+    modes_argb = _pack_argb(
+        np.full(modes.size, 255, np.int32), zeros, modes.ravel(), zeros
+    )
+    return modes_argb, residuals
+
+
+def _inverse_predictor(
+    res: np.ndarray, w: int, h: int, modes_sub: np.ndarray, block_bits: int
+) -> np.ndarray:
+    """Sequential inverse of the predictor transform: every pixel adds its
+    block's predictor (computed from already-reconstructed neighbors) to
+    the residual, per channel mod 256.  Inherently a raster-order
+    recurrence (most modes read the LEFT neighbor), so this is a Python
+    loop — fine for validation workloads; the fast path in this repo's
+    pipeline is the (default) literal+run encoder, which skips it."""
+    n = w * h
+    tw = -(-w // (1 << block_bits))
+    modes = ((modes_sub.astype(np.uint32) >> 8) & 0xFF).astype(np.int32)
+    if modes.size and int(modes.max()) > 13:
+        raise ValueError("VP8L: invalid predictor mode in sub-image")
+    modes = modes.tolist()
+    ra = ((res >> 24) & 0xFF).astype(np.int32).tolist()
+    rr = ((res >> 16) & 0xFF).astype(np.int32).tolist()
+    rg = ((res >> 8) & 0xFF).astype(np.int32).tolist()
+    rb = (res & 0xFF).astype(np.int32).tolist()
+    oa, orr, og, ob = [0] * n, [0] * n, [0] * n, [0] * n
+
+    def clip(x):
+        return 0 if x < 0 else (255 if x > 255 else x)
+
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            i = base + x
+            if i == 0:
+                p = (255, 0, 0, 0)
+            elif y == 0:
+                p = (oa[i - 1], orr[i - 1], og[i - 1], ob[i - 1])
+            elif x == 0:
+                j = i - w
+                p = (oa[j], orr[j], og[j], ob[j])
+            else:
+                m = modes[(y >> block_bits) * tw + (x >> block_bits)]
+                li, ti, tli, tri = i - 1, i - w, i - w - 1, i - w + 1
+                if m == 0:
+                    p = (255, 0, 0, 0)
+                elif m == 1:
+                    p = (oa[li], orr[li], og[li], ob[li])
+                elif m == 2:
+                    p = (oa[ti], orr[ti], og[ti], ob[ti])
+                elif m == 3:
+                    p = (oa[tri], orr[tri], og[tri], ob[tri])
+                elif m == 4:
+                    p = (oa[tli], orr[tli], og[tli], ob[tli])
+                elif m == 5:
+                    p = tuple(
+                        ((((c[li] + c[tri]) >> 1) + c[ti]) >> 1)
+                        for c in (oa, orr, og, ob)
+                    )
+                elif m == 6:
+                    p = tuple((c[li] + c[tli]) >> 1 for c in (oa, orr, og, ob))
+                elif m == 7:
+                    p = tuple((c[li] + c[ti]) >> 1 for c in (oa, orr, og, ob))
+                elif m == 8:
+                    p = tuple((c[tli] + c[ti]) >> 1 for c in (oa, orr, og, ob))
+                elif m == 9:
+                    p = tuple((c[ti] + c[tri]) >> 1 for c in (oa, orr, og, ob))
+                elif m == 10:
+                    p = tuple(
+                        (((c[li] + c[tli]) >> 1) + ((c[ti] + c[tri]) >> 1)) >> 1
+                        for c in (oa, orr, og, ob)
+                    )
+                elif m == 11:
+                    diff = 0
+                    for c in (oa, orr, og, ob):
+                        diff += abs(c[li] - c[tli]) - abs(c[ti] - c[tli])
+                    src = ti if diff <= 0 else li
+                    p = (oa[src], orr[src], og[src], ob[src])
+                elif m == 12:
+                    p = tuple(
+                        clip(c[li] + c[ti] - c[tli]) for c in (oa, orr, og, ob)
+                    )
+                else:  # 13
+                    vals = []
+                    for c in (oa, orr, og, ob):
+                        ave = (c[li] + c[ti]) >> 1
+                        d = ave - c[tli]
+                        half = (abs(d) >> 1) * (1 if d >= 0 else -1)
+                        vals.append(clip(ave + half))
+                    p = tuple(vals)
+            oa[i] = (ra[i] + p[0]) & 0xFF
+            orr[i] = (rr[i] + p[1]) & 0xFF
+            og[i] = (rg[i] + p[2]) & 0xFF
+            ob[i] = (rb[i] + p[3]) & 0xFF
+    return _pack_argb(
+        np.asarray(oa, np.int32),
+        np.asarray(orr, np.int32),
+        np.asarray(og, np.int32),
+        np.asarray(ob, np.int32),
+    )
+
+
+def _pack_argb(a, r, g, b) -> np.ndarray:
+    return (
+        (a.astype(np.uint32) << 24)
         | (r.astype(np.uint32) << 16)
         | (g.astype(np.uint32) << 8)
         | b.astype(np.uint32)
     ).ravel()
+
+
+def _encode_image_body(
+    bw: _BitWriter, argb: np.ndarray, cache_bits: int, level0: bool
+) -> None:
+    """Write one spatially-coded image (spec §6.3): color-cache info,
+    the meta-prefix bit (level-0 streams only), five prefix codes and the
+    literal/LZ77/cache token stream.  Shared by the main ARGB image and
+    transform sub-images (e.g. the predictor's mode grid)."""
     n = len(argb)
 
     # tokenize: literals, dist-1 runs (>= 3 px), optional color-cache hits.
@@ -469,7 +657,7 @@ def encode(
     g_freq: dict[int, int] = {}
     r_freq: dict[int, int] = {}
     b_freq: dict[int, int] = {}
-    a_freq: dict[int, int] = {255: 1}
+    a_freq: dict[int, int] = {}
     d_freq: dict[int, int] = {}
 
     i = 0
@@ -508,29 +696,23 @@ def encode(
                 continue
             cache[k] = px
         tokens.append(("lit", px))
-        gg, rr, bb = (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF
+        gg, rr = (px >> 8) & 0xFF, (px >> 16) & 0xFF
+        bb, aa = px & 0xFF, (px >> 24) & 0xFF
         g_freq[gg] = g_freq.get(gg, 0) + 1
         r_freq[rr] = r_freq.get(rr, 0) + 1
         b_freq[bb] = b_freq.get(bb, 0) + 1
+        a_freq[aa] = a_freq.get(aa, 0) + 1
         i += 1
     if not g_freq:
         g_freq[0] = 1  # h*w >= 1, so this never triggers; belt and braces
 
-    bw = _BitWriter()
-    bw.write_bits(w - 1, 14)
-    bw.write_bits(h - 1, 14)
-    bw.write_bits(0, 1)  # alpha hint: no transparency used
-    bw.write_bits(0, 3)  # version
-    if subtract_green:
-        bw.write_bits(1, 1)
-        bw.write_bits(_TRANSFORM_SUBTRACT_GREEN, 2)
-    bw.write_bits(0, 1)  # no (more) transforms
     if cache_bits:
         bw.write_bits(1, 1)
         bw.write_bits(cache_bits, 4)
     else:
         bw.write_bits(0, 1)
-    bw.write_bits(0, 1)  # no meta prefix codes
+    if level0:
+        bw.write_bits(0, 1)  # no meta prefix codes
 
     g_codes = _write_prefix_code(
         bw, g_freq, NUM_LITERAL + NUM_LENGTH + cache_size
@@ -544,11 +726,12 @@ def encode(
         kind = tok[0]
         if kind == "lit":
             px = tok[1]
-            gg, rr, bb = (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF
+            gg, rr = (px >> 8) & 0xFF, (px >> 16) & 0xFF
+            bb, aa = px & 0xFF, (px >> 24) & 0xFF
             bw.write_code(*g_codes[gg])
             bw.write_code(*r_codes[rr])
             bw.write_code(*b_codes[bb])
-            bw.write_code(*a_codes[255])
+            bw.write_code(*a_codes[aa])
         elif kind == "run":
             ls, eb, ev = _lz77_encode(tok[1])
             bw.write_code(*g_codes[256 + ls])
@@ -558,6 +741,65 @@ def encode(
             bw.write_bits(dev, deb)
         else:  # cache
             bw.write_code(*g_codes[256 + NUM_LENGTH + tok[1]])
+
+
+def encode(
+    rgb: np.ndarray,
+    subtract_green: bool = True,
+    cache_bits: int = 0,
+    predictor_bits: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real lossless WebP file.
+
+    ``predictor_bits`` (0 = off, else 2..9) enables the spec's PREDICTOR
+    transform with 2^bits-pixel square blocks: every block picks the best
+    of the 14 spatial predictors (vectorized sum-of-wrapped-residuals
+    scoring) and the entropy coder sees residuals instead of raw pixels —
+    the decisive win on smooth/natural images, where residuals collapse
+    toward zero.  The mode grid itself is written as an entropy-coded
+    sub-image, exactly as libwebp does."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode expects (h, w, 3) uint8")
+    h, w, _ = rgb.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be 1..16384")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        # the header field is 4 bits and the spec caps the cache at 2^11;
+        # out-of-range values would emit a stream every decoder rejects
+        raise ValueError(f"cache_bits must be 0 or 1..11, got {cache_bits}")
+    if predictor_bits and not 2 <= predictor_bits <= 9:
+        # the 3-bit header field stores predictor_bits - 2
+        raise ValueError(f"predictor_bits must be 0 or 2..9, got {predictor_bits}")
+    a = np.full((h, w), 255, np.int32)
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+
+    bw = _BitWriter()
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)  # alpha hint: no transparency used
+    bw.write_bits(0, 3)  # version
+    # transform order: SUBTRACT_GREEN first, PREDICTOR second — the decoder
+    # inverts in REVERSE read order, so residual+predict runs before the
+    # green channel is added back, matching the forward pipeline here
+    if subtract_green:
+        bw.write_bits(1, 1)
+        bw.write_bits(_TRANSFORM_SUBTRACT_GREEN, 2)
+    if predictor_bits:
+        bw.write_bits(1, 1)
+        bw.write_bits(_TRANSFORM_PREDICTOR, 2)
+        bw.write_bits(predictor_bits - 2, 3)
+        modes_argb, (a, r, g, b) = _forward_predictor(
+            (a, r, g, b), w, h, predictor_bits
+        )
+        _encode_image_body(bw, modes_argb, cache_bits=0, level0=False)
+    bw.write_bits(0, 1)  # no (more) transforms
+
+    _encode_image_body(bw, _pack_argb(a, r, g, b), cache_bits, level0=True)
     payload = b"\x2f" + bw.bytes()
 
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -603,22 +845,59 @@ def decode(data: bytes) -> np.ndarray:
     if br.read_bits(3) != 0:
         raise ValueError("VP8L: unknown version")
 
-    subtract_green = False
+    transforms: list[tuple] = []
     while br.read_bits(1):
         t = br.read_bits(2)
+        if any(tr[0] == t for tr in transforms):
+            raise ValueError("VP8L: duplicate transform")
         if t == _TRANSFORM_SUBTRACT_GREEN:
-            subtract_green = True
+            transforms.append((t,))
+        elif t == _TRANSFORM_PREDICTOR:
+            pbits = br.read_bits(3) + 2
+            tw = -(-w // (1 << pbits))
+            th = -(-h // (1 << pbits))
+            sub = _decode_image_body(br, tw, th, level0=False)
+            transforms.append((t, pbits, sub))
         else:
             raise ValueError(
-                f"VP8L transform {t} (predictor/color/indexing) is out of "
-                "scope — only SUBTRACT_GREEN is implemented"
+                f"VP8L transform {t} (cross-color/indexing) is out of "
+                "scope — SUBTRACT_GREEN and PREDICTOR are implemented"
             )
 
+    out = _decode_image_body(br, w, h, level0=True)
+    # inverse transforms run in REVERSE read order (spec §8)
+    for tr in reversed(transforms):
+        if tr[0] == _TRANSFORM_PREDICTOR:
+            out = _inverse_predictor(out, w, h, tr[2], tr[1])
+        else:  # SUBTRACT_GREEN inverse: add green back into red/blue
+            r = (out >> 16) & 0xFF
+            g = (out >> 8) & 0xFF
+            b = out & 0xFF
+            out = (
+                (out & np.uint32(0xFF000000))
+                | (((r + g) & 0xFF) << 16)
+                | (g << 8)
+                | ((b + g) & 0xFF)
+            ).astype(np.uint32)
+
+    argb = out.reshape(h, w)
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def _decode_image_body(
+    br: _BitReader, w: int, h: int, level0: bool
+) -> np.ndarray:
+    """Read one spatially-coded image (the counterpart of
+    :func:`_encode_image_body`): cache info, meta bit (level 0 only),
+    five prefix codes, pixel loop.  Returns the flat uint32 ARGB raster."""
     cache_bits = br.read_bits(4) if br.read_bits(1) else 0
     if cache_bits > 11:
         raise ValueError("VP8L: color cache bits out of range")
     cache_size = (1 << cache_bits) if cache_bits else 0
-    if br.read_bits(1):
+    if level0 and br.read_bits(1):
         raise ValueError("VP8L: meta prefix codes are out of scope")
 
     g_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size))
@@ -671,16 +950,7 @@ def decode(data: bytes) -> np.ndarray:
             out[i] = cache[k]
             i += 1
 
-    argb = out.reshape(h, w)
-    r = ((argb >> 16) & 0xFF).astype(np.int32)
-    g = ((argb >> 8) & 0xFF).astype(np.int32)
-    b = (argb & 0xFF).astype(np.int32)
-    if subtract_green:
-        r = (r + g) & 0xFF
-        b = (b + g) & 0xFF
-    return np.stack(
-        [r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8)], axis=2
-    )
+    return out
 
 
 def is_vp8l(data: bytes) -> bool:

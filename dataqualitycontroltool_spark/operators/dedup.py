@@ -884,8 +884,12 @@ def repeated_ngram_spans(
          ``cache=True`` persists the slim (id, pos, gram-key) frame because
          it feeds BOTH the vocabulary aggregate and the hits join — under
          the typical AQE-broadcast vocab there is no exchange to reuse and
-         the explode would otherwise run twice (caller owns unpersist,
-         same contract as ``simhash_pairs``);
+         the explode would otherwise run twice.  The internally-built
+         persist has no caller handle (released at session teardown /
+         ``clearCache``); when you need an owned lifecycle — or several
+         span signals off one explode — build ``positional_grams``
+         yourself, persist it, pass it as ``grams=`` and unpersist when
+         done (the preferred seam since r4);
       2. shared-gram vocabulary: hash-agg on the gram key with a distinct
          doc count (two-phase, map-side partial);
       3. semi-join grams -> shared vocabulary on the gram key (AQE picks

@@ -91,7 +91,8 @@ def test_truncation_and_garbage_fail_loudly():
 
 
 def test_unsupported_transform_rejected():
-    # hand-build a header declaring the PREDICTOR transform (type 0)
+    # hand-build a header declaring the CROSS-COLOR transform (type 1 —
+    # still out of scope; PREDICTOR gained support in r4)
     from dataqualitycontroltool_spark.graft.vp8l import _BitWriter
 
     bw = _BitWriter()
@@ -100,7 +101,7 @@ def test_unsupported_transform_rejected():
     bw.write_bits(0, 1)
     bw.write_bits(0, 3)
     bw.write_bits(1, 1)  # a transform follows
-    bw.write_bits(0, 2)  # PREDICTOR
+    bw.write_bits(1, 2)  # CROSS-COLOR
     payload = b"\x2f" + bw.bytes() + b"\x00" * 8
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
@@ -199,10 +200,99 @@ def test_pil_cross_decoder():  # pragma: no cover — env-gated
     from PIL import Image
 
     for name, img in _images().items():
-        for cb in (0, 6):
-            data = vp8l.encode(img, cache_bits=cb)
+        for kw in ({"cache_bits": 0}, {"cache_bits": 6},
+                   {"predictor_bits": 4}, {"predictor_bits": 2, "cache_bits": 6}):
+            data = vp8l.encode(img, **kw)
             got = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
-            assert np.array_equal(got, img), f"PIL disagrees on {name}"
+            assert np.array_equal(got, img), f"PIL disagrees on {name} {kw}"
         buf = BytesIO()
         Image.fromarray(img).save(buf, format="WEBP", lossless=True)
         assert np.array_equal(vp8l.decode(buf.getvalue()), img)
+
+
+# --- PREDICTOR transform (r4 extension) ------------------------------------
+
+@pytest.mark.parametrize("name,img", list(_images().items()))
+@pytest.mark.parametrize("pb", [2, 4])
+def test_predictor_roundtrip_exact(name, img, pb):
+    data = vp8l.encode(img, predictor_bits=pb)
+    assert np.array_equal(vp8l.decode(data), img), f"{name} pb={pb}"
+
+
+def test_predictor_compresses_smooth_images():
+    grad = np.zeros((64, 64, 3), np.uint8)
+    grad[:, :, 0] = np.arange(64, dtype=np.uint8)[None, :] * 4
+    grad[:, :, 1] = np.arange(64, dtype=np.uint8)[:, None] * 3
+    grad[:, :, 2] = (np.arange(64)[None, :] + np.arange(64)[:, None]).astype(
+        np.uint8
+    )
+    plain = vp8l.encode(grad)
+    pred = vp8l.encode(grad, predictor_bits=4)
+    assert np.array_equal(vp8l.decode(pred), grad)
+    # gradients are exactly what spatial prediction kills: a large margin,
+    # not a rounding-level one
+    assert len(pred) < len(plain) // 2, (len(pred), len(plain))
+
+
+def test_predictor_all_modes_decode():
+    """Force every predictor mode through the decoder by crafting a mode
+    grid directly: encode residuals=original with mode grid all-M only
+    works via the public API, so instead exercise selection pressure —
+    an image built from shifted copies makes distinct blocks prefer
+    distinct modes, and the full set must round-trip regardless."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    img = base.copy()
+    img[1:, :, :] = base[:-1, :, :]     # vertically correlated -> T-ish
+    img[:, 1:, 0] = img[:, :-1, 0]      # horizontally correlated red -> L-ish
+    data = vp8l.encode(img, predictor_bits=2)
+    assert np.array_equal(vp8l.decode(data), img)
+    # the mode grid genuinely varies (not a single degenerate mode)
+    from dataqualitycontroltool_spark.graft.vp8l import _forward_predictor
+
+    h, w, _ = img.shape
+    a = np.full((h, w), 255, np.int32)
+    chans = (a, img[:, :, 0].astype(np.int32),
+             ((img[:, :, 1].astype(np.int32))),
+             img[:, :, 2].astype(np.int32))
+    modes_argb, _ = _forward_predictor(chans, w, h, 2)
+    modes = {(int(px) >> 8) & 0xFF for px in modes_argb}
+    assert len(modes) >= 3
+
+
+def test_predictor_bits_validation():
+    img = np.zeros((4, 4, 3), np.uint8)
+    for bad in (1, 10, -2):
+        with pytest.raises(ValueError, match="predictor_bits"):
+            vp8l.encode(img, predictor_bits=bad)
+    with pytest.raises(ValueError, match="cache_bits"):
+        vp8l.encode(img, cache_bits=12)
+
+
+def test_duplicate_transform_rejected():
+    from dataqualitycontroltool_spark.graft.vp8l import _BitWriter
+
+    bw = _BitWriter()
+    bw.write_bits(3, 14)
+    bw.write_bits(3, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    for _ in range(2):  # SUBTRACT_GREEN twice
+        bw.write_bits(1, 1)
+        bw.write_bits(2, 2)
+    payload = b"\x2f" + bw.bytes() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="duplicate"):
+        vp8l.decode(blob)
+
+
+def test_invalid_predictor_mode_rejected():
+    # an image encoded with predictor_bits, then the sub-image green value
+    # patched >13, must fail loudly — simulate by decoding a crafted grid
+    from dataqualitycontroltool_spark.graft.vp8l import _inverse_predictor
+
+    res = np.zeros(16, np.uint32)
+    bad_modes = np.array([(0xFF << 24) | (14 << 8)], np.uint32)
+    with pytest.raises(ValueError, match="predictor mode"):
+        _inverse_predictor(res, 4, 4, bad_modes, 2)
