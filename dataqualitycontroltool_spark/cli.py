@@ -163,6 +163,22 @@ def cmd_dicom(args) -> int:
     return 0
 
 
+def cmd_map(args) -> int:
+    """Execute a legacy MIPMap mapping-task XML natively (the reference
+    shells out to a dockerized MIPMap+Postgres for this —
+    mipqctool/controller/dockermipmap.py:10-56; here Catalyst IS the
+    mapping engine and the task file is just imported)."""
+    from dataqualitycontroltool_spark.sources import mipmap
+
+    spark = _get_spark(args)
+    df = _load_data(spark, args.data)
+    out = mipmap.apply_mipmap_xml(df, open(args.task_xml).read())
+    out.write.mode("overwrite").parquet(args.outdir)
+    print(json.dumps({"columns": out.columns,
+                      "rows": spark.read.parquet(args.outdir).count()}))
+    return 0
+
+
 def cmd_pyfiles(args) -> int:
     print(build_pyfiles_zip())
     return 0
@@ -228,6 +244,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--loris-out", default=None,
                    help="also reorganize valid-sequence files for LORIS import")
     d.set_defaults(fn=cmd_dicom)
+
+    m = sub.add_parser(
+        "map", help="run a legacy MIPMap mapping-task XML natively"
+    )
+    m.add_argument("data", help="input parquet/csv")
+    m.add_argument("task_xml", help="MIPMap mapping task XML")
+    m.add_argument("outdir", help="output parquet path")
+    m.set_defaults(fn=cmd_map)
 
     p = sub.add_parser("pyfiles", help="build the --py-files zip")
     p.set_defaults(fn=cmd_pyfiles)

@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
         (?P<number>\d+\.\d+|\d+)
       | (?P<string>"(?:[^"\\]|\\.)*")
       | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<op>==|!=|<=|>=|[-+*/<>(),.])
+      | (?P<op>&&|\|\||==|!=|<=|>=|[-+*/<>(),.])
     )""",
     re.VERBOSE,
 )
@@ -253,8 +253,23 @@ class _Parser:
         self.i += 1
         return kind, val
 
-    # expr := term (cmp term)?
+    # expr := cmp (('&&' | '||') cmp)*   — MIPMap's logical operators
+    # (the reference's own task fixtures use '&&', e.g.
+    # tests/test_mappings/xml/map.xml: if(isNull(x) && isNull(y), ...));
+    # comparisons bind tighter, like every C-family grammar
     def expr(self):
+        left, raw = self.cmp()
+        while self.peek() in (("op", "&&"), ("op", "||")):
+            _, op = self.take()
+            right, rraw = self.cmp()
+            lc = self._as_col(left, raw)
+            rc = self._as_col(right, rraw)
+            left = (lc & rc) if op == "&&" else (lc | rc)
+            raw = None
+        return left, raw
+
+    # cmp := term (cmp_op term)?
+    def cmp(self):
         left, raw = self.term()
         kind, val = self.peek()
         if kind == "op" and val in _CMP:
