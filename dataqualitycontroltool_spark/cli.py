@@ -172,7 +172,8 @@ def cmd_map(args) -> int:
 
     spark = _get_spark(args)
     df = _load_data(spark, args.data)
-    out = mipmap.apply_mipmap_xml(df, open(args.task_xml).read())
+    with open(args.task_xml) as fh:
+        out = mipmap.apply_mipmap_xml(df, fh.read())
     out.write.mode("overwrite").parquet(args.outdir)
     print(json.dumps({"columns": out.columns,
                       "rows": spark.read.parquet(args.outdir).count()}))

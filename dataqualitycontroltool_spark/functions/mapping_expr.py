@@ -253,18 +253,28 @@ class _Parser:
         self.i += 1
         return kind, val
 
-    # expr := cmp (('&&' | '||') cmp)*   — MIPMap's logical operators
+    # expr := and_expr ('||' and_expr)*  — MIPMap's logical operators
     # (the reference's own task fixtures use '&&', e.g.
-    # tests/test_mappings/xml/map.xml: if(isNull(x) && isNull(y), ...));
-    # comparisons bind tighter, like every C-family grammar
+    # tests/test_mappings/xml/map.xml: if(isNull(x) && isNull(y), ...)).
+    # '&&' binds TIGHTER than '||' and comparisons bind tighter than both,
+    # like every C-family grammar — flattening them to one level would
+    # silently mis-associate 'a || b && c' as '(a || b) && c'
     def expr(self):
+        left, raw = self.and_expr()
+        while self.peek() == ("op", "||"):
+            self.take()
+            right, rraw = self.and_expr()
+            left = self._as_col(left, raw) | self._as_col(right, rraw)
+            raw = None
+        return left, raw
+
+    # and_expr := cmp ('&&' cmp)*
+    def and_expr(self):
         left, raw = self.cmp()
-        while self.peek() in (("op", "&&"), ("op", "||")):
-            _, op = self.take()
+        while self.peek() == ("op", "&&"):
+            self.take()
             right, rraw = self.cmp()
-            lc = self._as_col(left, raw)
-            rc = self._as_col(right, rraw)
-            left = (lc & rc) if op == "&&" else (lc | rc)
+            left = self._as_col(left, raw) & self._as_col(right, rraw)
             raw = None
         return left, raw
 

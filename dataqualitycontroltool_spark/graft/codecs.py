@@ -215,12 +215,16 @@ def is_lossless_webp(head: bytes) -> bool:
 
 
 def webp_encode(
-    rgb: np.ndarray, cache_bits: int = 6, predictor_bits: int = 4
+    rgb: np.ndarray, cache_bits: int = 6, predictor_bits: int = 0
 ) -> bytes:
     """Encode a REAL lossless WebP (RIFF/VP8L) bitstream (pure numpy).
-    Defaults enable the PREDICTOR transform (16-px blocks) + color cache:
-    ~25% smaller AND faster to encode than literal coding on natural
-    images (measured on the synth corpus)."""
+
+    ``predictor_bits`` (opt-in) enables the PREDICTOR transform: ~25%
+    smaller and faster to ENCODE on natural images, but its inverse is a
+    sequential per-pixel Python loop on DECODE — the pipeline's hot path
+    is decode (the pandas-UDF validation pass), so the default stays on
+    the fully-vectorized literal+run coding; turn the predictor on for
+    storage-bound flows where files are written once and decoded rarely."""
     from dataqualitycontroltool_spark.graft import vp8l
 
     return vp8l.encode(rgb, cache_bits=cache_bits, predictor_bits=predictor_bits)

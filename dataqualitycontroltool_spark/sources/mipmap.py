@@ -55,11 +55,27 @@ def parse_mipmap_xml(xml_text: str) -> dict:
     Expressions come back in the engine's mapping language: every
     four-part path (source AND target side) is replaced by its bare
     column name — the inverse of the reference's serialization rewrite
-    (correspondence.py:99-110).  Longer paths are replaced first so a
-    path that is a prefix of another can never corrupt the rewrite."""
+    (correspondence.py:99-110), but TOKEN-SAFE: longest paths first,
+    word-boundary checked, and never inside string literals (the
+    reference's plain str.replace corrupts a path-shaped literal).
+
+    Tasks using MIPMap features this native executor does not implement
+    — row filters (<selectionConditions>), joins (<joinConditions>),
+    table duplications, or multiple source tables — raise ``ValueError``
+    instead of silently running different semantics (the repo-wide
+    never-silent-garbage policy)."""
     root = ET.fromstring(xml_text)
     if root.tag != "mappingtask":
         raise ValueError(f"not a MIPMap task XML (root <{root.tag}>)")
+    for section in ("source", "target"):
+        for feature in ("selectionConditions", "joinConditions",
+                        "duplications"):
+            el = root.find(f"./{section}/{feature}")
+            if el is not None and (len(el) or (el.text or "").strip()):
+                raise ValueError(
+                    f"MIPMap {feature} are out of scope for the native "
+                    "executor — this task needs the external engine"
+                )
 
     def tables_of(section: str) -> list[str]:
         out = []
@@ -83,17 +99,24 @@ def parse_mipmap_xml(xml_text: str) -> dict:
             (p.text or "").strip()
             for p in corr.findall("./source-paths/source-path")
         ]
-        for p in sorted(paths + [target_path], key=len, reverse=True):
-            if p:
-                expr = expr.replace(p, _column_of(p))
+        expr, _ = _rewrite_tokens(
+            expr, {p: _column_of(p) for p in paths + [target_path] if p}
+        )
         if target_col in mappings:
             raise ValueError(
                 f"duplicate correspondence for target {target_col!r}"
             )
         mappings[target_col] = expr
         src_cols[target_col] = [_column_of(p) for p in paths if p]
+    source_tables = tables_of("source")
+    if len(source_tables) > 1:
+        raise ValueError(
+            "multi-table MIPMap sources are out of scope for the native "
+            "executor (no join semantics) — this task needs the external "
+            "engine"
+        )
     return {
-        "source_tables": tables_of("source"),
+        "source_tables": source_tables,
         "target_tables": tables_of("target"),
         "mappings": mappings,
         "source_columns": src_cols,
@@ -183,15 +206,17 @@ def export_mipmap_xml(
     corrs = ET.SubElement(root, "correspondences")
     src_set = set(source_columns)
     for target_col, expr in mappings.items():
-        used = sorted(
-            (c for c in src_set if c in expr), key=len, reverse=True
-        )
         # token-safe rewrite: only bare identifiers become paths (a column
-        # name inside a longer identifier or a quoted string must survive)
-        rewritten = _rewrite_identifiers(expr, {c: src_path(c) for c in used})
+        # name inside a longer identifier or a quoted string must survive);
+        # the rewriter reports which columns it actually replaced, so the
+        # source-paths list never declares a phantom dependency (a column
+        # whose name is a prefix of another would otherwise substring-match)
+        rewritten, used = _rewrite_tokens(
+            expr, {c: src_path(c) for c in src_set}
+        )
         corr = ET.SubElement(corrs, "correspondence")
         sp = ET.SubElement(corr, "source-paths")
-        for c in (c for c in used if src_path(c) in rewritten):
+        for c in sorted(used):
             e = ET.SubElement(sp, "source-path")
             e.text = src_path(c)
         tp = ET.SubElement(corr, "target-path")
@@ -204,36 +229,60 @@ def export_mipmap_xml(
     return minidom.parseString(raw).toprettyxml(indent="   ")
 
 
-def _rewrite_identifiers(expr: str, repl: dict[str, str]) -> str:
-    """Replace bare identifiers per ``repl``, skipping quoted strings and
-    identifier substrings (the reference's plain str.replace corrupts
-    both; this importer/exporter must not)."""
-    import re
+def _rewrite_tokens(expr: str, repl: dict[str, str]):
+    """Replace whole tokens per ``repl`` (keys may be bare identifiers or
+    dotted paths), returning ``(rewritten, {keys actually replaced})``.
+    Token-safe where the reference's plain str.replace is not:
 
-    out = []
+    * string literals are skipped, honoring backslash escapes (an escaped
+      quote must not end the scan early);
+    * matches require word boundaries on both sides (a key that is a
+      prefix or substring of a longer identifier/path never fires);
+    * a bare identifier immediately followed by '(' is a FUNCTION call,
+      never a column reference."""
+    boundary = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                   "abcdefghijklmnopqrstuvwxyz0123456789_.")
+    keys = sorted(repl, key=len, reverse=True)
+    out: list[str] = []
+    used: set[str] = set()
     i = 0
-    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
     while i < len(expr):
         ch = expr[i]
         if ch == '"':
-            j = expr.find('"', i + 1)
-            j = len(expr) - 1 if j < 0 else j
+            j = i + 1
+            while j < len(expr):
+                if expr[j] == "\\":
+                    j += 2
+                    continue
+                if expr[j] == '"':
+                    break
+                j += 1
+            j = min(j, len(expr) - 1)
             out.append(expr[i : j + 1])
             i = j + 1
             continue
-        m = ident.match(expr, i)
-        if m:
-            word = m.group(0)
-            # an identifier followed by '(' is a FUNCTION call, never a
-            # column reference — a column named like a function must not
-            # hijack it (the reference's plain str.replace has this flaw)
-            j = m.end()
-            while j < len(expr) and expr[j] in " \t":
-                j += 1
-            is_call = j < len(expr) and expr[j] == "("
-            out.append(word if is_call else repl.get(word, word))
-            i = m.end()
+        hit = None
+        for k in keys:
+            if not expr.startswith(k, i):
+                continue
+            if i > 0 and expr[i - 1] in boundary:
+                continue
+            end = i + len(k)
+            if end < len(expr) and expr[end] in boundary:
+                continue
+            if "." not in k:  # function-call guard for bare identifiers
+                j = end
+                while j < len(expr) and expr[j] in " \t":
+                    j += 1
+                if j < len(expr) and expr[j] == "(":
+                    continue
+            hit = k
+            break
+        if hit is not None:
+            out.append(repl[hit])
+            used.add(hit)
+            i += len(hit)
             continue
         out.append(ch)
         i += 1
-    return "".join(out)
+    return "".join(out), used

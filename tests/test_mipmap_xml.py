@@ -190,3 +190,60 @@ def test_cli_map_subcommand(spark, tmp_path):
     assert got.count() == spark.read.parquet(
         "/root/testdata/sf0.001/orders.parquet"
     ).count()
+
+
+# --- review-pass regressions (r4) ------------------------------------------
+
+def test_and_binds_tighter_than_or(spark):
+    """'a || b && c' must parse as 'a || (b && c)' (C-family precedence) —
+    the flat left-fold would give (a || b) && c and silently flip rows."""
+    from dataqualitycontroltool_spark.functions.mapping_expr import (
+        compile_expression,
+    )
+
+    df = spark.createDataFrame([(None, 1.0, 1.0)], "x double, y double, z double")
+    expr = 'if(isNull(x) || isNull(y) && isNull(z), "T", "F")'
+    got = df.select(
+        compile_expression(expr, columns=df.columns).alias("v")
+    ).collect()[0].v
+    assert got == "T"  # true || (false && false)
+
+
+def test_export_no_phantom_source_paths():
+    """A column whose name is a prefix of another must not be declared as
+    a dependency by substring accident."""
+    out = mipmap.export_mipmap_xml(
+        {"y": "col2 + 1"},
+        source_table="t",
+        source_columns=["col", "col2"],
+        target_table="cdes",
+    )
+    sp = [e.text for e in ET.fromstring(out).findall(
+        "./correspondences/correspondence/source-paths/source-path")]
+    assert sp == ["sourcedb.t.tTuple.col2"]
+
+
+def test_out_of_scope_task_features_rejected():
+    xml_text = _sample_xml().replace(
+        "<selectionConditions/>",
+        "<selectionConditions><c>t.x &gt; 1</c></selectionConditions>",
+        1,
+    )
+    with pytest.raises(ValueError, match="selectionConditions"):
+        mipmap.parse_mipmap_xml(xml_text)
+
+
+def test_rewrite_skips_escaped_quotes_and_literal_paths():
+    from dataqualitycontroltool_spark.sources.mipmap import _rewrite_tokens
+
+    # escaped quote inside a literal must not end the string scan
+    expr = r'append("a\"col\"b", col)'
+    out, used = _rewrite_tokens(expr, {"col": "DB.t.tTuple.col"})
+    assert out == r'append("a\"col\"b", DB.t.tTuple.col)'
+    assert used == {"col"}
+    # a path-shaped string literal survives the import rewrite
+    expr2 = 'if(contains(db.t.tTuple.note, "db.t.tTuple.flag"), "Y", "N")'
+    out2, _ = _rewrite_tokens(expr2, {
+        "db.t.tTuple.note": "note", "db.t.tTuple.flag": "flag",
+    })
+    assert out2 == 'if(contains(note, "db.t.tTuple.flag"), "Y", "N")'
