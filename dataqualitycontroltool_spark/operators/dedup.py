@@ -670,11 +670,21 @@ def connected_components(
             "id",
             F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
         )
-        # pointer jumping: comp := comp(comp) — halves every label chain
+        # pointer jumping: comp := comp(comp).  The jump table is the
+        # PREVIOUS round's labels — already materialized by last round's
+        # localCheckpoint — not this round's `propagated`: a self-join on
+        # `propagated` would compute the neighbor-min shuffle TWICE per
+        # round (ReuseExchange does not fire across these branches —
+        # measured on the banded self-join, PLANS.md), doubling the
+        # dominant per-iteration cost at any scale.  Jumping through the
+        # one-round-stale table is still monotone (labels[c] <= c for every
+        # node id c) and still O(log diameter); the fixpoint is unchanged
+        # because plain min-propagation alone already converges to the
+        # component minimum — jumping only accelerates it.
         new_labels = (
             propagated.alias("x")
             .join(
-                propagated.select(
+                labels.select(
                     F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
                 ).alias("y"),
                 F.col("x.comp") == F.col("y._pid"),
