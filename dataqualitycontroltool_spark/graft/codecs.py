@@ -215,7 +215,8 @@ def is_lossless_webp(head: bytes) -> bool:
 
 
 def webp_encode(
-    rgb: np.ndarray, cache_bits: int = 6, predictor_bits: int = 0
+    rgb: np.ndarray, cache_bits: int = 6, predictor_bits: int = 0,
+    palette: bool | str = "auto",
 ) -> bytes:
     """Encode a REAL lossless WebP (RIFF/VP8L) bitstream (pure numpy).
 
@@ -224,9 +225,23 @@ def webp_encode(
     sequential per-pixel Python loop on DECODE — the pipeline's hot path
     is decode (the pandas-UDF validation pass), so the default stays on
     the fully-vectorized literal+run coding; turn the predictor on for
-    storage-bound flows where files are written once and decoded rarely."""
+    storage-bound flows where files are written once and decoded rarely.
+
+    ``palette="auto"`` (default, libwebp's behavior) switches to the
+    COLOR_INDEXING transform whenever the image fits a 256-color table —
+    decisively smaller on few-color images AND faster to decode (bundled
+    indices invert as one vectorized table lookup); true-color images
+    (every image in the synthetic bench corpus) are unaffected, keeping
+    prior-round bitstreams byte-identical."""
     from dataqualitycontroltool_spark.graft import vp8l
 
+    if palette == "auto":
+        palette = (
+            not predictor_bits
+            and len(np.unique(rgb.reshape(-1, 3), axis=0)) <= 256
+        )
+    if palette:
+        return vp8l.encode(rgb, cache_bits=cache_bits, palette=True)
     return vp8l.encode(rgb, cache_bits=cache_bits, predictor_bits=predictor_bits)
 
 
@@ -286,9 +301,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
                     return vp8l.decode(bytes(data))
                 except Exception as exc:
                     # spec shapes the built-in decoder scopes out
-                    # (predictor/cross-color/indexing transforms, meta
-                    # prefix codes — libwebp emits them routinely) fall
-                    # back to PIL exactly like the JPEG branch above
+                    # (cross-color transform, meta prefix codes — libwebp
+                    # emits them routinely; predictor/subtract-green/
+                    # color-indexing ARE handled) fall back to PIL exactly
+                    # like the JPEG branch above
                     if HAVE_PIL:
                         return pil_decode(data)  # pragma: no cover — no PIL
                     if isinstance(exc, ValueError):

@@ -14,9 +14,12 @@ so the pipeline's PSNR >= 40 dB invariant holds with PSNR = inf).
 Encoder scope (a valid, conservative subset — every output is a conformant
 stream any WebP decoder reads):
 * transforms: SUBTRACT_GREEN (default on — free to invert, improves
-  entropy on natural images) and PREDICTOR (``predictor_bits``: per-block
+  entropy on natural images), PREDICTOR (``predictor_bits``: per-block
   best-of-14 spatial prediction with the mode grid written as an
-  entropy-coded sub-image — the decisive win on smooth images);
+  entropy-coded sub-image — the decisive win on smooth images) and
+  COLOR_INDEXING (``palette=True``: <=256-color palette with up to
+  8-indices-per-byte pixel bundling — the decisive win on synthetic
+  few-color images);
 * LZ77: greedy runs of the previous pixel (distance 1) — the dominant
   redundancy in flat/synthetic regions; everything else is literals;
 * color cache: optional (``cache_bits``), mirroring the decoder's insert
@@ -25,11 +28,13 @@ stream any WebP decoder reads):
 
 Decoder scope: everything the encoder emits plus the full literal/LZ77/
 color-cache symbol space, both "simple" and "normal" prefix-code forms,
-and the SUBTRACT_GREEN + PREDICTOR inverse transforms (all 14 predictor
-modes, spec edge rules incl. the contiguous-buffer top-right wrap);
-streams using the cross-color / color-indexing transforms or meta prefix
-codes raise ``ValueError`` (never silent garbage) — the same
-explicit-subset policy as the baseline JPEG codec.
+and the SUBTRACT_GREEN + PREDICTOR + COLOR_INDEXING inverse transforms
+(all 14 predictor modes, spec edge rules incl. the contiguous-buffer
+top-right wrap; palette index bundling at every width, with stream-order
+width tracking so transforms read after COLOR_INDEXING see the reduced
+width); streams using the cross-color transform or meta prefix codes
+raise ``ValueError`` (never silent garbage) — the same explicit-subset
+policy as the baseline JPEG codec.
 
 Reference parity: plays the reference's DICOM pixel-validation role
 (/root/reference/mipqctool/model/mri/mrisequence.py:122-156) for the webp
@@ -743,11 +748,54 @@ def _encode_image_body(
             bw.write_code(*g_codes[256 + NUM_LENGTH + tok[1]])
 
 
+def _palette_width_bits(size: int) -> int:
+    """Pixel-bundling factor for a color table of ``size`` entries
+    (spec §9.3): <=2 colors pack 8 indices/byte, <=4 pack 4, <=16 pack 2,
+    else one 8-bit index per pixel.  Returns log2(pixels per byte)."""
+    return 3 if size <= 2 else 2 if size <= 4 else 1 if size <= 16 else 0
+
+
+def _forward_palette(bw: _BitWriter, argb: np.ndarray, w: int, h: int) -> np.ndarray:
+    """COLOR_INDEXING forward (spec §9.3): write the transform header and
+    the delta-coded palette sub-image, return the width-reduced raster with
+    the bundled indices in the green channel."""
+    colors = np.unique(argb)
+    size = len(colors)
+    if size > 256:
+        raise ValueError(
+            f"palette encoding requires <= 256 distinct colors, image has {size}"
+        )
+    bw.write_bits(1, 1)
+    bw.write_bits(_TRANSFORM_COLOR_INDEXING, 2)
+    bw.write_bits(size - 1, 8)
+    # palette entries are component-wise deltas from the previous entry
+    # (mod 256), stored as a 1-pixel-tall entropy-coded sub-image; sorted
+    # order (np.unique) keeps the deltas small
+    pal = colors.astype(np.int64)
+    da, dr, dg, db = (
+        np.concatenate(([c[0]], (c[1:] - c[:-1]) & 0xFF))
+        for c in ((pal >> s) & 0xFF for s in (24, 16, 8, 0))
+    )
+    _encode_image_body(bw, _pack_argb(da, dr, dg, db), cache_bits=0, level0=False)
+    # bundle 2^wb indices per output pixel, first index in the LOW bits of
+    # the green channel; the spatial image is then ceil(w / 2^wb) wide
+    wb = _palette_width_bits(size)
+    npx, bits = 1 << wb, 8 >> wb
+    idx = np.searchsorted(colors, argb).astype(np.uint32).reshape(h, w)
+    wp = -(-w // npx)
+    padded = np.zeros((h, wp * npx), np.uint32)
+    padded[:, :w] = idx
+    shifts = (np.arange(npx) * bits).astype(np.uint32)
+    greens = (padded.reshape(h, wp, npx) << shifts).sum(axis=2).astype(np.uint32)
+    return (np.uint32(0xFF000000) | (greens << 8)).ravel()
+
+
 def encode(
     rgb: np.ndarray,
     subtract_green: bool = True,
     cache_bits: int = 0,
     predictor_bits: int = 0,
+    palette: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real lossless WebP file.
 
@@ -757,7 +805,14 @@ def encode(
     scoring) and the entropy coder sees residuals instead of raw pixels —
     the decisive win on smooth/natural images, where residuals collapse
     toward zero.  The mode grid itself is written as an entropy-coded
-    sub-image, exactly as libwebp does."""
+    sub-image, exactly as libwebp does.
+
+    ``palette=True`` uses the COLOR_INDEXING transform instead (requires
+    <= 256 distinct colors; raises otherwise): pixels become palette
+    indices bundled up to 8-per-byte into the green channel — the decisive
+    win on synthetic/few-color images.  Like libwebp, the palette path
+    does not combine with the other transforms (``subtract_green`` is
+    ignored, ``predictor_bits`` rejected)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode expects (h, w, 3) uint8")
     h, w, _ = rgb.shape
@@ -770,36 +825,42 @@ def encode(
     if predictor_bits and not 2 <= predictor_bits <= 9:
         # the 3-bit header field stores predictor_bits - 2
         raise ValueError(f"predictor_bits must be 0 or 2..9, got {predictor_bits}")
+    if palette and predictor_bits:
+        raise ValueError("palette does not combine with the predictor transform")
     a = np.full((h, w), 255, np.int32)
     r = rgb[:, :, 0].astype(np.int32)
     g = rgb[:, :, 1].astype(np.int32)
     b = rgb[:, :, 2].astype(np.int32)
-    if subtract_green:
-        r = (r - g) & 0xFF
-        b = (b - g) & 0xFF
 
     bw = _BitWriter()
     bw.write_bits(w - 1, 14)
     bw.write_bits(h - 1, 14)
     bw.write_bits(0, 1)  # alpha hint: no transparency used
     bw.write_bits(0, 3)  # version
-    # transform order: SUBTRACT_GREEN first, PREDICTOR second — the decoder
-    # inverts in REVERSE read order, so residual+predict runs before the
-    # green channel is added back, matching the forward pipeline here
-    if subtract_green:
-        bw.write_bits(1, 1)
-        bw.write_bits(_TRANSFORM_SUBTRACT_GREEN, 2)
-    if predictor_bits:
-        bw.write_bits(1, 1)
-        bw.write_bits(_TRANSFORM_PREDICTOR, 2)
-        bw.write_bits(predictor_bits - 2, 3)
-        modes_argb, (a, r, g, b) = _forward_predictor(
-            (a, r, g, b), w, h, predictor_bits
-        )
-        _encode_image_body(bw, modes_argb, cache_bits=0, level0=False)
+    if palette:
+        body = _forward_palette(bw, _pack_argb(a, r, g, b), w, h)
+    else:
+        # transform order: SUBTRACT_GREEN first, PREDICTOR second — the
+        # decoder inverts in REVERSE read order, so residual+predict runs
+        # before the green channel is added back, matching the forward
+        # pipeline here
+        if subtract_green:
+            r = (r - g) & 0xFF
+            b = (b - g) & 0xFF
+            bw.write_bits(1, 1)
+            bw.write_bits(_TRANSFORM_SUBTRACT_GREEN, 2)
+        if predictor_bits:
+            bw.write_bits(1, 1)
+            bw.write_bits(_TRANSFORM_PREDICTOR, 2)
+            bw.write_bits(predictor_bits - 2, 3)
+            modes_argb, (a, r, g, b) = _forward_predictor(
+                (a, r, g, b), w, h, predictor_bits
+            )
+            _encode_image_body(bw, modes_argb, cache_bits=0, level0=False)
+        body = _pack_argb(a, r, g, b)
     bw.write_bits(0, 1)  # no (more) transforms
 
-    _encode_image_body(bw, _pack_argb(a, r, g, b), cache_bits, level0=True)
+    _encode_image_body(bw, body, cache_bits, level0=True)
     payload = b"\x2f" + bw.bytes()
 
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -846,6 +907,12 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("VP8L: unknown version")
 
     transforms: list[tuple] = []
+    # COLOR_INDEXING's pixel bundling narrows the image for everything
+    # read AFTER it in the stream (later transform sub-images and the
+    # spatially-coded image itself), so the reading width is tracked per
+    # transform and each inverse restores the width that was current when
+    # its header was read
+    cur_w = w
     while br.read_bits(1):
         t = br.read_bits(2)
         if any(tr[0] == t for tr in transforms):
@@ -854,21 +921,41 @@ def decode(data: bytes) -> np.ndarray:
             transforms.append((t,))
         elif t == _TRANSFORM_PREDICTOR:
             pbits = br.read_bits(3) + 2
-            tw = -(-w // (1 << pbits))
+            tw = -(-cur_w // (1 << pbits))
             th = -(-h // (1 << pbits))
             sub = _decode_image_body(br, tw, th, level0=False)
-            transforms.append((t, pbits, sub))
+            transforms.append((t, pbits, sub, cur_w))
+        elif t == _TRANSFORM_COLOR_INDEXING:
+            size = br.read_bits(8) + 1
+            sub = _decode_image_body(br, size, 1, level0=False)
+            # palette entries are component-wise deltas mod 256; indices
+            # beyond the table decode to 0x00000000 per the spec, so the
+            # lookup table is padded to the full 256-index space
+            chans = [np.cumsum((sub >> s) & 0xFF) & 0xFF for s in (24, 16, 8, 0)]
+            table = np.zeros(256, np.uint32)
+            table[:size] = _pack_argb(*chans)
+            wb = _palette_width_bits(size)
+            transforms.append((t, wb, table, cur_w))
+            cur_w = -(-cur_w // (1 << wb))
         else:
             raise ValueError(
-                f"VP8L transform {t} (cross-color/indexing) is out of "
-                "scope — SUBTRACT_GREEN and PREDICTOR are implemented"
+                f"VP8L transform {t} (cross-color) is out of scope — "
+                "SUBTRACT_GREEN, PREDICTOR and COLOR_INDEXING are implemented"
             )
 
-    out = _decode_image_body(br, w, h, level0=True)
+    out = _decode_image_body(br, cur_w, h, level0=True)
     # inverse transforms run in REVERSE read order (spec §8)
     for tr in reversed(transforms):
         if tr[0] == _TRANSFORM_PREDICTOR:
-            out = _inverse_predictor(out, w, h, tr[2], tr[1])
+            out = _inverse_predictor(out, tr[3], h, tr[2], tr[1])
+        elif tr[0] == _TRANSFORM_COLOR_INDEXING:
+            _, wb, table, target_w = tr
+            npx, bits = 1 << wb, 8 >> wb
+            mask = (1 << bits) - 1
+            greens = ((out >> 8) & 0xFF).reshape(h, -1)
+            shifts = (np.arange(npx) * bits).astype(np.uint32)
+            idx = ((greens[:, :, None] >> shifts) & mask).reshape(h, -1)[:, :target_w]
+            out = table[idx.astype(np.intp)].ravel()
         else:  # SUBTRACT_GREEN inverse: add green back into red/blue
             r = (out >> 16) & 0xFF
             g = (out >> 8) & 0xFF

@@ -233,10 +233,17 @@ def _run(fn, state, events, wm_ms):
 )
 def test_vp8l_roundtrip_exact(w, h, seed, palette, sg, cb):
     """Lossless WebP: decode(encode(x)) == x for arbitrary sizes, palettes
-    (run/cache-heavy at small palettes), transforms and cache settings."""
+    (run/cache-heavy at small palettes), transforms and cache settings —
+    including the COLOR_INDEXING path whenever the image fits a 256-color
+    table (r4: palette sizes here can exceed 256 DISTINCT combined colors
+    across 3 channels, so gate on the actual count)."""
     from dataqualitycontroltool_spark.graft import vp8l
 
     rng = np.random.default_rng(seed)
     img = rng.integers(0, palette, (h, w, 3)).astype(np.uint8)
     data = vp8l.encode(img, subtract_green=sg, cache_bits=cb)
     assert np.array_equal(vp8l.decode(data), img)
+    n_colors = len(np.unique(img.reshape(-1, 3), axis=0))
+    if n_colors <= 256:
+        pal_data = vp8l.encode(img, palette=True, cache_bits=cb)
+        assert np.array_equal(vp8l.decode(pal_data), img)

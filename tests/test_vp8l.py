@@ -296,3 +296,103 @@ def test_invalid_predictor_mode_rejected():
     bad_modes = np.array([(0xFF << 24) | (14 << 8)], np.uint32)
     with pytest.raises(ValueError, match="predictor mode"):
         _inverse_predictor(res, 4, 4, bad_modes, 2)
+
+
+# --- COLOR_INDEXING transform (r4 extension) --------------------------------
+
+def _palette_images():
+    rng = _rng(3)
+    pal3 = np.array([[10, 200, 30], [0, 0, 0], [255, 128, 5]], np.uint8)
+    pal16 = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    pal17 = rng.integers(0, 256, (17, 3)).astype(np.uint8)
+    pal256 = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    return {
+        # every bundling width: <=2 colors -> 8 px/byte, <=4 -> 4, <=16 -> 2,
+        # >16 -> plain 8-bit indices; odd widths exercise the padded tail
+        "bw": (rng.integers(0, 2, (37, 53)) * 255).astype(np.uint8)[
+            :, :, None
+        ].repeat(3, 2),
+        "c3_odd": pal3[rng.integers(0, 3, (17, 31))],
+        "c16": pal16[rng.integers(0, 16, (64, 64))],
+        "c17": pal17[rng.integers(0, 17, (33, 41))],
+        "c256": pal256[rng.integers(0, 256, (50, 50))],
+        "one_px": np.full((1, 1, 3), 77, np.uint8),
+        "flat": np.full((16, 16, 3), 123, np.uint8),
+        "w1": pal3[rng.integers(0, 3, (29, 1))],
+    }
+
+
+@pytest.mark.parametrize("name,img", list(_palette_images().items()))
+@pytest.mark.parametrize("cb", [0, 4])
+def test_palette_roundtrip_exact(name, img, cb):
+    data = vp8l.encode(img, palette=True, cache_bits=cb)
+    assert data[12:16] == b"VP8L"
+    out = vp8l.decode(data)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img), f"{name} cb={cb}"
+
+
+def test_palette_compresses_few_color_images():
+    imgs = _palette_images()
+    for name in ("c3_odd", "c16", "c17", "c256"):
+        img = imgs[name]
+        pal = vp8l.encode(img, palette=True)
+        plain = vp8l.encode(img)
+        assert len(pal) < len(plain), (name, len(pal), len(plain))
+    # bundled indices beat plain coding by a wide margin on 16 colors
+    assert len(vp8l.encode(imgs["c16"], palette=True)) < len(
+        vp8l.encode(imgs["c16"])
+    ) // 2
+
+
+def test_palette_rejects_true_color_and_combos():
+    rng = _rng(5)
+    truecolor = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        vp8l.encode(truecolor, palette=True)
+    with pytest.raises(ValueError, match="predictor"):
+        vp8l.encode(_palette_images()["bw"], palette=True, predictor_bits=3)
+
+
+def test_palette_out_of_range_index_decodes_transparent_black():
+    """Spec: an index >= color_table_size decodes to 0x00000000 (transparent
+    black).  Our encoder never emits one, so build the stream with the
+    module's own writer: declare a 3-color table but bundle index values up
+    to 3 (both sizes share the 2-bit bundling class, so only the semantics
+    differ, not the layout)."""
+    from dataqualitycontroltool_spark.graft.vp8l import (
+        _BitWriter,
+        _TRANSFORM_COLOR_INDEXING,
+        _encode_image_body,
+        _pack_argb,
+    )
+
+    w = h = 4
+    bw = _BitWriter()
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(1, 1)
+    bw.write_bits(_TRANSFORM_COLOR_INDEXING, 2)
+    bw.write_bits(3 - 1, 8)  # three palette entries: deltas of 10,20,30 gray
+    deltas = np.array([0xFF000000 | 0x0A0A0A, 0x0A0A0A, 0x0A0A0A], np.uint32)
+    _encode_image_body(bw, deltas, cache_bits=0, level0=False)
+    bw.write_bits(0, 1)  # no more transforms
+    # 16 pixels of 2-bit indices 0..3 bundled 4-per-byte -> 4 green bytes
+    idx = np.array([[0, 1, 2, 3]] * 4, np.uint32)
+    greens = (idx << (np.arange(4, dtype=np.uint32) * 2)).sum(axis=1)
+    packed = (np.uint32(0xFF000000) | (greens.astype(np.uint32) << 8))
+    _encode_image_body(bw, packed, cache_bits=0, level0=True)
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    out = vp8l.decode(data)
+    # columns 0..2 hit the table (10/20/30 gray); column 3 is out of range
+    assert tuple(out[0, 0]) == (10, 10, 10)
+    assert tuple(out[0, 1]) == (20, 20, 20)
+    assert tuple(out[0, 2]) == (30, 30, 30)
+    assert tuple(out[0, 3]) == (0, 0, 0)
