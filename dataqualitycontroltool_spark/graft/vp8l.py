@@ -13,13 +13,14 @@ so the pipeline's PSNR >= 40 dB invariant holds with PSNR = inf).
 
 Encoder scope (a valid, conservative subset — every output is a conformant
 stream any WebP decoder reads):
-* transforms: SUBTRACT_GREEN (default on — free to invert, improves
-  entropy on natural images), PREDICTOR (``predictor_bits``: per-block
-  best-of-14 spatial prediction with the mode grid written as an
-  entropy-coded sub-image — the decisive win on smooth images) and
-  COLOR_INDEXING (``palette=True``: <=256-color palette with up to
-  8-indices-per-byte pixel bundling — the decisive win on synthetic
-  few-color images);
+* transforms: ALL FOUR — SUBTRACT_GREEN (default on — free to invert,
+  improves entropy on natural images), PREDICTOR (``predictor_bits``:
+  per-block best-of-14 spatial prediction with the mode grid written as
+  an entropy-coded sub-image — the decisive win on smooth images),
+  COLOR (``color_bits``: per-block least-squares cross-channel
+  multipliers) and COLOR_INDEXING (``palette=True``: <=256-color palette
+  with up to 8-indices-per-byte pixel bundling — the decisive win on
+  synthetic few-color images);
 * LZ77: greedy runs of the previous pixel (distance 1) — the dominant
   redundancy in flat/synthetic regions; everything else is literals;
 * color cache: optional (``cache_bits``), mirroring the decoder's insert
@@ -28,13 +29,15 @@ stream any WebP decoder reads):
 
 Decoder scope: everything the encoder emits plus the full literal/LZ77/
 color-cache symbol space, both "simple" and "normal" prefix-code forms,
-and the SUBTRACT_GREEN + PREDICTOR + COLOR_INDEXING inverse transforms
-(all 14 predictor modes, spec edge rules incl. the contiguous-buffer
-top-right wrap; palette index bundling at every width, with stream-order
-width tracking so transforms read after COLOR_INDEXING see the reduced
-width); streams using the cross-color transform or meta prefix codes
-raise ``ValueError`` (never silent garbage) — the same explicit-subset
-policy as the baseline JPEG codec.
+meta prefix codes (per-block prefix-code groups selected by an
+entropy-coded sub-image) and ALL FOUR inverse transforms —
+SUBTRACT_GREEN, PREDICTOR (all 14 modes, spec edge rules incl. the
+contiguous-buffer top-right wrap), COLOR (cross-color, vectorized) and
+COLOR_INDEXING (palette index bundling at every width, with stream-order
+width tracking so transforms read after it see the reduced width): the
+full feature set libwebp emits for lossless images.  Malformed streams
+raise ``ValueError`` (never silent garbage), the same policy as the
+baseline JPEG codec.
 
 Reference parity: plays the reference's DICOM pixel-validation role
 (/root/reference/mipqctool/model/mri/mrisequence.py:122-156) for the webp
@@ -631,6 +634,99 @@ def _inverse_predictor(
     )
 
 
+def _sign8(x: np.ndarray) -> np.ndarray:
+    """Reinterpret the low byte as int8 (the spec's (int8_t) casts in the
+    color-transform delta), keeping numpy integer dtype for the arithmetic
+    right-shift that follows."""
+    return (((x & 0xFF) ^ 0x80) - 0x80).astype(np.int32)
+
+
+def _color_params(sub: np.ndarray, bw_: int):
+    """Unpack a COLOR transform sub-image into per-block int8 parameter
+    grids (green_to_red, green_to_blue, red_to_blue) — the spec stores them
+    in the BLUE, GREEN and RED channels respectively."""
+    grid = sub.reshape(-1, bw_)
+    return _sign8(grid), _sign8(grid >> 8), _sign8(grid >> 16)
+
+
+def _forward_color(ch, w: int, h: int, block_bits: int):
+    """COLOR (cross-color) transform forward: per 2^bits-square block, fit
+    the three int8 multipliers by least squares (t = 32·cov/var over the
+    int8-reinterpreted predictor channel — a linear proxy for residual
+    spread; exactness never depends on the fit, only size does) and
+    subtract the spec deltas ((int8)t * (int8)c >> 5, arithmetic shift)
+    from red and blue.  Returns the parameter grid as a sub-image plus the
+    transformed channels."""
+    a, r, g, b = ch
+    s = 1 << block_bits
+    bw_, bh = -(-w // s), -(-h // s)
+
+    def pad(x):
+        return np.pad(x, ((0, bh * s - h), (0, bw_ * s - w)), mode="edge")
+
+    def block_sum(x):
+        return x.reshape(bh, s, bw_, s).sum(axis=(1, 3), dtype=np.float64)
+
+    n = float(s * s)
+    gs_p, rs_p = _sign8(pad(g)), _sign8(pad(r))
+
+    def fit(src_s, target):
+        """argmin_t var(target - t*src/32) per block, clamped to int8."""
+        Ss, Sss = block_sum(src_s), block_sum(src_s * src_s)
+        var = Sss / n - (Ss / n) ** 2
+        St, Sst = block_sum(target), block_sum(src_s * target)
+        cov = Sst / n - Ss * St / (n * n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(var > 1e-9, 32.0 * cov / np.maximum(var, 1e-9), 0.0)
+        return np.clip(np.rint(t), -128, 127).astype(np.int32)
+
+    def expand(grid):
+        return np.repeat(np.repeat(grid, s, 0), s, 1)[:h, :w]
+
+    g2r = fit(gs_p, pad(r).astype(np.float64))
+    g2b = fit(gs_p, pad(b).astype(np.float64))
+    # blue's red multiplier fits the residual AFTER the green correction
+    b_res = pad(b).astype(np.float64) - (
+        (np.repeat(np.repeat(g2b, s, 0), s, 1) * gs_p) >> 5
+    )
+    r2b = fit(rs_p, b_res)
+
+    gs, rs = _sign8(g), _sign8(r)
+    new_r = (r - ((expand(g2r) * gs) >> 5)) & 0xFF
+    new_b = (b - ((expand(g2b) * gs) >> 5) - ((expand(r2b) * rs) >> 5)) & 0xFF
+    sub = _pack_argb(
+        np.full(g2r.size, 255, np.int32),
+        (r2b & 0xFF).ravel(),
+        (g2b & 0xFF).ravel(),
+        (g2r & 0xFF).ravel(),
+    )
+    return sub, (a, new_r, g, new_b)
+
+
+def _inverse_color(
+    out: np.ndarray, w: int, h: int, sub: np.ndarray, block_bits: int
+) -> np.ndarray:
+    """Vectorized inverse of the COLOR transform: red += delta(g2r, green);
+    blue += delta(g2b, green) + delta(r2b, RESTORED red) — matching the
+    forward pass, which uses the original red for the blue delta."""
+    s = 1 << block_bits
+    bw_ = -(-w // s)
+    g2r, g2b, r2b = _color_params(sub, bw_)
+
+    def expand(grid):
+        return np.repeat(np.repeat(grid, s, 0), s, 1)[:h, :w]
+
+    argb = out.reshape(h, w)
+    a = ((argb >> 24) & 0xFF).astype(np.int32)
+    r = ((argb >> 16) & 0xFF).astype(np.int32)
+    g = ((argb >> 8) & 0xFF).astype(np.int32)
+    b = (argb & 0xFF).astype(np.int32)
+    gs = _sign8(g)
+    new_r = (r + ((expand(g2r) * gs) >> 5)) & 0xFF
+    new_b = (b + ((expand(g2b) * gs) >> 5) + ((expand(r2b) * _sign8(new_r)) >> 5)) & 0xFF
+    return _pack_argb(a, new_r, g, new_b)
+
+
 def _pack_argb(a, r, g, b) -> np.ndarray:
     return (
         (a.astype(np.uint32) << 24)
@@ -796,6 +892,7 @@ def encode(
     cache_bits: int = 0,
     predictor_bits: int = 0,
     palette: bool = False,
+    color_bits: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real lossless WebP file.
 
@@ -812,7 +909,17 @@ def encode(
     indices bundled up to 8-per-byte into the green channel — the decisive
     win on synthetic/few-color images.  Like libwebp, the palette path
     does not combine with the other transforms (``subtract_green`` is
-    ignored, ``predictor_bits`` rejected)."""
+    ignored, ``predictor_bits``/``color_bits`` rejected).
+
+    ``color_bits`` (0 = off, else 2..9) enables the COLOR (cross-color)
+    transform: per 2^bits-square block, least-squares-fitted int8
+    multipliers decorrelate red and blue from green (and blue from red) —
+    the win is images whose channels co-vary with a FRACTIONAL slope that
+    SUBTRACT_GREEN's fixed unit slope can't remove (measured 27% smaller
+    on a slope-0.5/0.25 corpus).  It composes with ``subtract_green`` and
+    ``predictor_bits`` bit-stream-wise, but usually REPLACES subtract-green
+    (fitting the already-subtracted residual wraps through the int8
+    reinterpretation and degrades the fit — pass subtract_green=False)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode expects (h, w, 3) uint8")
     h, w, _ = rgb.shape
@@ -825,8 +932,12 @@ def encode(
     if predictor_bits and not 2 <= predictor_bits <= 9:
         # the 3-bit header field stores predictor_bits - 2
         raise ValueError(f"predictor_bits must be 0 or 2..9, got {predictor_bits}")
-    if palette and predictor_bits:
-        raise ValueError("palette does not combine with the predictor transform")
+    if color_bits and not 2 <= color_bits <= 9:
+        raise ValueError(f"color_bits must be 0 or 2..9, got {color_bits}")
+    if palette and (predictor_bits or color_bits):
+        raise ValueError(
+            "palette does not combine with the predictor/color transforms"
+        )
     a = np.full((h, w), 255, np.int32)
     r = rgb[:, :, 0].astype(np.int32)
     g = rgb[:, :, 1].astype(np.int32)
@@ -849,6 +960,12 @@ def encode(
             b = (b - g) & 0xFF
             bw.write_bits(1, 1)
             bw.write_bits(_TRANSFORM_SUBTRACT_GREEN, 2)
+        if color_bits:
+            bw.write_bits(1, 1)
+            bw.write_bits(_TRANSFORM_COLOR, 2)
+            bw.write_bits(color_bits - 2, 3)
+            sub, (a, r, g, b) = _forward_color((a, r, g, b), w, h, color_bits)
+            _encode_image_body(bw, sub, cache_bits=0, level0=False)
         if predictor_bits:
             bw.write_bits(1, 1)
             bw.write_bits(_TRANSFORM_PREDICTOR, 2)
@@ -925,6 +1042,12 @@ def decode(data: bytes) -> np.ndarray:
             th = -(-h // (1 << pbits))
             sub = _decode_image_body(br, tw, th, level0=False)
             transforms.append((t, pbits, sub, cur_w))
+        elif t == _TRANSFORM_COLOR:
+            cbits = br.read_bits(3) + 2
+            tw = -(-cur_w // (1 << cbits))
+            th = -(-h // (1 << cbits))
+            sub = _decode_image_body(br, tw, th, level0=False)
+            transforms.append((t, cbits, sub, cur_w))
         elif t == _TRANSFORM_COLOR_INDEXING:
             size = br.read_bits(8) + 1
             sub = _decode_image_body(br, size, 1, level0=False)
@@ -937,17 +1060,13 @@ def decode(data: bytes) -> np.ndarray:
             wb = _palette_width_bits(size)
             transforms.append((t, wb, table, cur_w))
             cur_w = -(-cur_w // (1 << wb))
-        else:
-            raise ValueError(
-                f"VP8L transform {t} (cross-color) is out of scope — "
-                "SUBTRACT_GREEN, PREDICTOR and COLOR_INDEXING are implemented"
-            )
-
     out = _decode_image_body(br, cur_w, h, level0=True)
     # inverse transforms run in REVERSE read order (spec §8)
     for tr in reversed(transforms):
         if tr[0] == _TRANSFORM_PREDICTOR:
             out = _inverse_predictor(out, tr[3], h, tr[2], tr[1])
+        elif tr[0] == _TRANSFORM_COLOR:
+            out = _inverse_color(out, tr[3], h, tr[2], tr[1])
         elif tr[0] == _TRANSFORM_COLOR_INDEXING:
             _, wb, table, target_w = tr
             npx, bits = 1 << wb, 8 >> wb
@@ -984,14 +1103,33 @@ def _decode_image_body(
     if cache_bits > 11:
         raise ValueError("VP8L: color cache bits out of range")
     cache_size = (1 << cache_bits) if cache_bits else 0
+    # meta prefix codes (level 0 only): a sub-image assigns every
+    # 2^bits-square block a prefix-code GROUP via (red << 8) | green of its
+    # pixel; each group carries its own five codes (libwebp emits these
+    # routinely on larger images).  The color cache stays image-global.
+    n_groups, group_of = 1, None
     if level0 and br.read_bits(1):
-        raise ValueError("VP8L: meta prefix codes are out of scope")
-
-    g_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size))
-    r_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL))
-    b_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL))
-    a_tab = _lut_of(*_read_prefix_code(br, NUM_LITERAL))
-    d_tab = _lut_of(*_read_prefix_code(br, NUM_DISTANCE))
+        mbits = br.read_bits(3) + 2
+        mw = -(-w // (1 << mbits))
+        mh = -(-h // (1 << mbits))
+        meta = _decode_image_body(br, mw, mh, level0=False)
+        gidx = ((meta >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(gidx.max()) + 1
+        group_of = (
+            np.repeat(np.repeat(gidx.reshape(mh, mw), 1 << mbits, 0), 1 << mbits, 1)
+            [:h, :w].ravel().tolist()
+        )
+    groups = [
+        (
+            _lut_of(*_read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size)),
+            _lut_of(*_read_prefix_code(br, NUM_LITERAL)),
+            _lut_of(*_read_prefix_code(br, NUM_LITERAL)),
+            _lut_of(*_read_prefix_code(br, NUM_LITERAL)),
+            _lut_of(*_read_prefix_code(br, NUM_DISTANCE)),
+        )
+        for _ in range(n_groups)
+    ]
+    g_tab, r_tab, b_tab, a_tab, d_tab = groups[0]
 
     n = w * h
     out = np.zeros(n, dtype=np.uint32)
@@ -999,6 +1137,8 @@ def _decode_image_body(
     cache_set = [False] * cache_size
     i = 0
     while i < n:
+        if group_of is not None:
+            g_tab, r_tab, b_tab, a_tab, d_tab = groups[group_of[i]]
         s = br.read_lut(g_tab)
         if s < NUM_LITERAL:
             gg = s

@@ -90,23 +90,61 @@ def test_truncation_and_garbage_fail_loudly():
         vp8l.decode(b"not a webp at all, definitely")
 
 
-def test_unsupported_transform_rejected():
-    # hand-build a header declaring the CROSS-COLOR transform (type 1 —
-    # still out of scope; PREDICTOR gained support in r4)
-    from dataqualitycontroltool_spark.graft.vp8l import _BitWriter
+def test_meta_prefix_groups_decode():
+    """Meta prefix codes (r4): two prefix-code groups selected by a
+    1-pixel-per-4x4-block sub-image.  Hand-built because the encoder emits
+    a single group; libwebp emits multi-group streams routinely, so the
+    decoder must select the right five codes per pixel position."""
+    from dataqualitycontroltool_spark.graft.vp8l import (
+        _BitWriter,
+        _encode_image_body,
+        _write_prefix_code,
+        NUM_DISTANCE,
+        NUM_LITERAL,
+    )
 
+    w, h, mbits = 8, 2, 2  # meta grid 2x1: columns 0-3 group 0, 4-7 group 1
+    X = (255, 1, 2, 3)  # (a, r, g, b) for the left half
+    Y = (255, 9, 8, 7)  # right half
     bw = _BitWriter()
-    bw.write_bits(3, 14)  # w-1
-    bw.write_bits(3, 14)  # h-1
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
     bw.write_bits(0, 1)
     bw.write_bits(0, 3)
-    bw.write_bits(1, 1)  # a transform follows
-    bw.write_bits(1, 2)  # CROSS-COLOR
-    payload = b"\x2f" + bw.bytes() + b"\x00" * 8
+    bw.write_bits(0, 1)  # no transforms
+    bw.write_bits(0, 1)  # no color cache
+    bw.write_bits(1, 1)  # meta prefix codes present
+    bw.write_bits(mbits - 2, 3)
+    # group index = (red << 8) | green of the meta pixel
+    meta = np.array([0xFF000000, 0xFF000000 | (1 << 8)], np.uint32)
+    _encode_image_body(bw, meta, cache_bits=0, level0=False)
+    group_codes = []
+    for (aa, rr, gg, bb) in (X, Y):
+        g_codes = _write_prefix_code(bw, {gg: 8}, NUM_LITERAL + 24)
+        r_codes = _write_prefix_code(bw, {rr: 8}, NUM_LITERAL)
+        b_codes = _write_prefix_code(bw, {bb: 8}, NUM_LITERAL)
+        a_codes = _write_prefix_code(bw, {aa: 8}, NUM_LITERAL)
+        _write_prefix_code(bw, {1: 1}, NUM_DISTANCE)  # unused
+        group_codes.append((g_codes, r_codes, b_codes, a_codes))
+    for _ in range(h):
+        for x in range(w):
+            grp = 0 if x < 4 else 1
+            aa, rr, gg, bb = (X, Y)[grp]
+            g_codes, r_codes, b_codes, a_codes = group_codes[grp]
+            bw.write_code(*g_codes[gg])
+            bw.write_code(*r_codes[rr])
+            bw.write_code(*b_codes[bb])
+            bw.write_code(*a_codes[aa])
+    payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
-    with pytest.raises(ValueError, match="out of scope"):
-        vp8l.decode(blob)
+    if len(payload) & 1:
+        chunk += b"\x00"
+    out = vp8l.decode(b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+    assert out.shape == (h, w, 3)
+    for x in range(w):
+        expect = (1, 2, 3) if x < 4 else (9, 8, 7)
+        assert tuple(out[0, x]) == expect, (x, tuple(out[0, x]))
+        assert tuple(out[1, x]) == expect
 
 
 def test_package_merge_kraft_complete():
@@ -396,3 +434,94 @@ def test_palette_out_of_range_index_decodes_transparent_black():
     assert tuple(out[0, 1]) == (20, 20, 20)
     assert tuple(out[0, 2]) == (30, 30, 30)
     assert tuple(out[0, 3]) == (0, 0, 0)
+
+
+# --- COLOR (cross-color) transform (r4 extension) ----------------------------
+
+def _correlated_image(seed=13):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(10, 110, (64, 64)).astype(np.int32)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:, :, 1] = g
+    img[:, :, 0] = np.clip(g // 2 + 20 + rng.integers(-3, 4, g.shape), 0, 255)
+    img[:, :, 2] = np.clip(g // 4 + 10 + rng.integers(-3, 4, g.shape), 0, 255)
+    return img
+
+
+@pytest.mark.parametrize("name,img", list(_images().items()))
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"color_bits": 3},
+        {"color_bits": 3, "subtract_green": False},
+        {"color_bits": 2, "cache_bits": 5},
+        {"color_bits": 4, "predictor_bits": 4},
+    ],
+)
+def test_color_transform_roundtrip_exact(name, img, kw):
+    data = vp8l.encode(img, **kw)
+    assert np.array_equal(vp8l.decode(data), img), f"{name} {kw}"
+
+
+def test_color_transform_decorrelates_fractional_slopes():
+    """Channels co-varying at slope 0.5/0.25 are exactly what the fixed
+    unit slope of SUBTRACT_GREEN cannot remove: the cross-color fit must
+    win by a wide margin there (27% measured at landing)."""
+    img = _correlated_image()
+    plain = vp8l.encode(img, subtract_green=False)
+    col = vp8l.encode(img, subtract_green=False, color_bits=4)
+    assert np.array_equal(vp8l.decode(col), img)
+    assert len(col) < len(plain) * 0.85, (len(col), len(plain))
+
+
+def test_color_transform_rejects_bad_bits():
+    img = _correlated_image()
+    with pytest.raises(ValueError, match="color_bits"):
+        vp8l.encode(img, color_bits=1)
+    with pytest.raises(ValueError, match="palette"):
+        vp8l.encode(np.zeros((4, 4, 3), np.uint8), palette=True, color_bits=3)
+
+
+def test_color_transform_delta_semantics():
+    """Pin the spec's (int8)t * (int8)c >> 5 delta on hand values via a
+    1-block stream built with the module's writer: params are stored in
+    (blue=g2r, green=g2b, red=r2b) channels and blue's red multiplier
+    applies to the RESTORED red."""
+    from dataqualitycontroltool_spark.graft.vp8l import (
+        _BitWriter,
+        _TRANSFORM_COLOR,
+        _encode_image_body,
+    )
+
+    g2r, g2b, r2b = 64, -32 & 0xFF, 16  # t/32 slopes: 2, -1, 0.5
+    w = h = 2
+    # stored pixel channels (after forward transform) chosen freely; the
+    # inverse must add delta(g2r, g) to red, then delta(g2b, g) +
+    # delta(r2b, restored_red) to blue
+    stored = np.array(
+        [0xFF000000 | (10 << 16) | (20 << 8) | 30] * 4, np.uint32
+    )
+    bw = _BitWriter()
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(1, 1)
+    bw.write_bits(_TRANSFORM_COLOR, 2)
+    bw.write_bits(9 - 2, 3)  # one 512-px block covers the whole image
+    _encode_image_body(
+        bw, np.array([0xFF000000 | (r2b << 16) | (g2b << 8) | g2r], np.uint32),
+        cache_bits=0, level0=False,
+    )
+    bw.write_bits(0, 1)
+    _encode_image_body(bw, stored, cache_bits=0, level0=True)
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    out = vp8l.decode(b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+
+    # delta(g2r=64, g=20) = (64*20)>>5 = 40 -> red = 10+40 = 50
+    # delta(g2b=-32, g=20) = (-32*20)>>5 = -20
+    # delta(r2b=16, red=50) = (16*50)>>5 = 25 -> blue = 30-20+25 = 35
+    assert tuple(out[0, 0]) == (50, 20, 35)
