@@ -56,6 +56,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "graft": _graft_throughput(spark, cpus),
+        "graft_hamming": _graft_hamming(spark),
         "graft_real_jpeg": _graft_real_jpeg(spark),
         "graft_real_webp": _graft_real_webp(spark),
         "dicom_10k": _dicom_scale(spark),
@@ -112,6 +113,36 @@ def _dicom_scale(spark, n_files: int = 10_000) -> dict:
             "files_per_sec": round(n_files / wall, 1),
             "valid_seqs": counts["validsequences"],
             "invalid_seqs": counts["invalidsequences"]}
+
+
+def _graft_hamming(spark, rows: int = 8000) -> dict:
+    """Full pipeline with the phash NEAR-duplicate index (banded hamming +
+    connected components, max_hamming=3) instead of exact-match dedup — the
+    north-star's perturbed-image case (re-encodes / slight crops whose
+    phash differs by a few bits).  Reuses the main graft corpus so the two
+    numbers isolate the hamming index's cost."""
+    from pyspark.sql import functions as F
+
+    from dataqualitycontroltool_spark.graft.pipeline import (
+        KeepDropConfig,
+        run_pipeline,
+    )
+    from dataqualitycontroltool_spark.graft.synth import write_images
+
+    path = f"/tmp/dqc_bench_images_{rows}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_images(spark, path, rows, n_partitions=32)
+    df = spark.read.parquet(path)
+    n = df.count()
+    cfg = KeepDropConfig(dedupe_hamming=3)
+    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
+    run_pipeline(warm, cfg).write.mode("overwrite").parquet("/tmp/dqc_bench_hamwarm")
+    t0 = time.perf_counter()
+    out = run_pipeline(df, cfg)
+    out.write.mode("overwrite").parquet("/tmp/dqc_bench_hamout")
+    wall = time.perf_counter() - t0
+    return {"rows": n, "wall_s": round(wall, 2),
+            "images_per_sec": round(n / wall, 1)}
 
 
 def _graft_real_jpeg(spark, rows: int = 4000) -> dict:
