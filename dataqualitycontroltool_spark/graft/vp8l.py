@@ -21,8 +21,10 @@ stream any WebP decoder reads):
   multipliers) and COLOR_INDEXING (``palette=True``: <=256-color palette
   with up to 8-indices-per-byte pixel bundling — the decisive win on
   synthetic few-color images);
-* LZ77: greedy runs of the previous pixel (distance 1) — the dominant
-  redundancy in flat/synthetic regions; everything else is literals;
+* LZ77: greedy runs of the previous pixel (distance 1 — the dominant
+  redundancy in flat/synthetic regions) and of the pixel directly above
+  (distance = width, dist_code 1 — repeated rows, 8.6x on row-tiled
+  images); everything else is literals;
 * color cache: optional (``cache_bits``), mirroring the decoder's insert
   discipline exactly;
 * one prefix-code group (no meta-prefix image).
@@ -741,20 +743,33 @@ def _pack_argb(a, r, g, b) -> np.ndarray:
 
 
 def _encode_image_body(
-    bw: _BitWriter, argb: np.ndarray, cache_bits: int, level0: bool
+    bw: _BitWriter, argb: np.ndarray, cache_bits: int, level0: bool,
+    width: int | None = None,
 ) -> None:
     """Write one spatially-coded image (spec §6.3): color-cache info,
     the meta-prefix bit (level-0 streams only), five prefix codes and the
     literal/LZ77/cache token stream.  Shared by the main ARGB image and
-    transform sub-images (e.g. the predictor's mode grid)."""
+    transform sub-images (e.g. the predictor's mode grid).
+
+    ``width`` (the raster's row length) additionally enables UP-runs —
+    LZ77 copies at distance = width (dist_code 1, the spec's (0, 1)
+    offset) for pixels equal to the one directly above: the dominant
+    redundancy of vertically-repetitive images (stripes, repeated rows,
+    predictor mode grids) that dist-1 runs cannot reach."""
     n = len(argb)
 
-    # tokenize: literals, dist-1 runs (>= 3 px), optional color-cache hits.
-    # run boundaries come from one vectorized diff; the per-token loop is
-    # then over tokens, not pixels, for run-heavy images.
-    # plain Python lists: per-element numpy scalar indexing in the token
-    # loop costs ~3x list indexing
+    # tokenize: literals, dist-1 runs (>= 3 px), dist-width UP-runs,
+    # optional color-cache hits.  run boundaries come from one vectorized
+    # diff; the per-token loop is then over tokens, not pixels, for
+    # run-heavy images.  plain Python lists: per-element numpy scalar
+    # indexing in the token loop costs ~3x list indexing
     same_as_prev = np.concatenate(([False], argb[1:] == argb[:-1])).tolist()
+    if width and width < n:
+        same_as_up = np.concatenate(
+            (np.zeros(width, bool), argb[width:] == argb[:-width])
+        ).tolist()
+    else:
+        same_as_up = None
     argb = argb.tolist()
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
@@ -790,6 +805,29 @@ def _encode_image_body(
                 i += run
                 continue
             # short runs fall through pixel-by-pixel (cache may cover them)
+        if same_as_up is not None and same_as_up[i]:
+            run = 1
+            while i + run < n and same_as_up[i + run]:
+                run += 1
+            if run >= 3:
+                left = run
+                while left:
+                    chunk = min(left, 4096)
+                    tokens.append(("upr", chunk))
+                    ls, _, _ = _lz77_encode(chunk)
+                    g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
+                    ds, _, _ = _lz77_encode(1)  # dist_code 1 -> (0, 1) -> w
+                    d_freq[ds] = d_freq.get(ds, 0) + 1
+                    left -= chunk
+                if cache_bits:
+                    # an up-run copies VARYING values — mirror the
+                    # decoder's per-copied-pixel cache inserts exactly
+                    for j in range(i, i + run):
+                        pxr = argb[j]
+                        cache[_cache_key(pxr, cache_bits)] = pxr
+                i += run
+                continue
+            # short up-runs fall through to the literal/cache path
         px = argb[i]
         if cache_bits:
             k = _cache_key(px, cache_bits)
@@ -837,11 +875,11 @@ def _encode_image_body(
             bw.write_code(*r_codes[rr])
             bw.write_code(*b_codes[bb])
             bw.write_code(*a_codes[aa])
-        elif kind == "run":
+        elif kind in ("run", "upr"):
             ls, eb, ev = _lz77_encode(tok[1])
             bw.write_code(*g_codes[256 + ls])
             bw.write_bits(ev, eb)
-            ds, deb, dev = _lz77_encode(2)
+            ds, deb, dev = _lz77_encode(2 if kind == "run" else 1)
             bw.write_code(*d_codes[ds])
             bw.write_bits(dev, deb)
         else:  # cache
@@ -969,7 +1007,10 @@ def encode(
             bw.write_bits(_TRANSFORM_COLOR, 2)
             bw.write_bits(color_bits - 2, 3)
             sub, (a, r, g, b) = _forward_color((a, r, g, b), w, h, color_bits)
-            _encode_image_body(bw, sub, cache_bits=0, level0=False)
+            _encode_image_body(
+                bw, sub, cache_bits=0, level0=False,
+                width=-(-w // (1 << color_bits)),
+            )
         if predictor_bits:
             bw.write_bits(1, 1)
             bw.write_bits(_TRANSFORM_PREDICTOR, 2)
@@ -977,11 +1018,16 @@ def encode(
             modes_argb, (a, r, g, b) = _forward_predictor(
                 (a, r, g, b), w, h, predictor_bits
             )
-            _encode_image_body(bw, modes_argb, cache_bits=0, level0=False)
+            _encode_image_body(
+                bw, modes_argb, cache_bits=0, level0=False,
+                width=-(-w // (1 << predictor_bits)),
+            )
         body = _pack_argb(a, r, g, b)
     bw.write_bits(0, 1)  # no (more) transforms
 
-    _encode_image_body(bw, body, cache_bits, level0=True)
+    # len(body) // h is the body's actual row length: w normally, the
+    # bundle-reduced width under COLOR_INDEXING
+    _encode_image_body(bw, body, cache_bits, level0=True, width=len(body) // h)
     payload = b"\x2f" + bw.bytes()
 
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

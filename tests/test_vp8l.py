@@ -589,3 +589,20 @@ def test_fuzz_mutated_streams_decode_or_valueerror():
                 codecs.decode(bytes(data), "webp")
             except ValueError:
                 pass
+
+def test_up_run_backward_references():
+    """LZ77 up-runs (distance = width, dist_code 1): repeated rows must
+    compress by a wide margin (8.6x at landing) and round-trip exactly —
+    including with a color cache (the encoder must mirror the decoder's
+    per-copied-pixel cache inserts, which VARY within an up-run, unlike a
+    dist-1 run's single value)."""
+    rng = _rng(5)
+    row = rng.integers(0, 256, (1, 40, 3), dtype=np.uint8)
+    tiled = np.repeat(row, 24, axis=0)
+    for kw in ({}, {"cache_bits": 6}, {"predictor_bits": 3},
+               {"subtract_green": False, "color_bits": 3}):
+        data = vp8l.encode(tiled, **kw)
+        assert np.array_equal(vp8l.decode(data), tiled), kw
+    # the tiled image must cost barely more than ONE row's coding
+    assert len(vp8l.encode(tiled)) < 3 * len(vp8l.encode(row)), (
+        len(vp8l.encode(tiled)), len(vp8l.encode(row)))
