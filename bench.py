@@ -115,34 +115,45 @@ def _dicom_scale(spark, n_files: int = 10_000) -> dict:
             "invalid_seqs": counts["invalidsequences"]}
 
 
+def _timed_graft(spark, rows: int, out_tag: str, cfg=None, **write_kwargs) -> dict:
+    """Shared graft-throughput harness: build the corpus once per boot
+    (cached on disk), spawn the Python UDF worker fleet with a 25%
+    warm-up pass, then time ONE full pipeline write.  All graft metrics
+    (stub, hamming, real-JPEG, real-WebP) share this shape so a change to
+    the warm-up or timing discipline lands everywhere at once."""
+    from pyspark.sql import functions as F
+
+    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
+    from dataqualitycontroltool_spark.graft.synth import write_images
+
+    tag = "".join(f"_{k}" for k in sorted(write_kwargs)) or ""
+    path = f"/tmp/dqc_bench_images{tag}_{rows}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_images(spark, path, rows, n_partitions=32, **write_kwargs)
+    df = spark.read.parquet(path)
+    n = df.count()
+    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
+    run_pipeline(warm, cfg).write.mode("overwrite").parquet(
+        f"/tmp/dqc_bench_warm_{out_tag}"
+    )
+    t0 = time.perf_counter()
+    run_pipeline(df, cfg).write.mode("overwrite").parquet(
+        f"/tmp/dqc_bench_out_{out_tag}"
+    )
+    wall = time.perf_counter() - t0
+    return {"rows": n, "wall_s": round(wall, 2),
+            "images_per_sec": round(n / wall, 1)}
+
+
 def _graft_hamming(spark, rows: int = 8000) -> dict:
     """Full pipeline with the phash NEAR-duplicate index (banded hamming +
     connected components, max_hamming=3) instead of exact-match dedup — the
     north-star's perturbed-image case (re-encodes / slight crops whose
     phash differs by a few bits).  Reuses the main graft corpus so the two
     numbers isolate the hamming index's cost."""
-    from pyspark.sql import functions as F
+    from dataqualitycontroltool_spark.graft.pipeline import KeepDropConfig
 
-    from dataqualitycontroltool_spark.graft.pipeline import (
-        KeepDropConfig,
-        run_pipeline,
-    )
-    from dataqualitycontroltool_spark.graft.synth import write_images
-
-    path = f"/tmp/dqc_bench_images_{rows}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        write_images(spark, path, rows, n_partitions=32)
-    df = spark.read.parquet(path)
-    n = df.count()
-    cfg = KeepDropConfig(dedupe_hamming=3)
-    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
-    run_pipeline(warm, cfg).write.mode("overwrite").parquet("/tmp/dqc_bench_hamwarm")
-    t0 = time.perf_counter()
-    out = run_pipeline(df, cfg)
-    out.write.mode("overwrite").parquet("/tmp/dqc_bench_hamout")
-    wall = time.perf_counter() - t0
-    return {"rows": n, "wall_s": round(wall, 2),
-            "images_per_sec": round(n / wall, 1)}
+    return _timed_graft(spark, rows, "ham", cfg=KeepDropConfig(dedupe_hamming=3))
 
 
 def _graft_real_jpeg(spark, rows: int = 4000) -> dict:
@@ -151,23 +162,7 @@ def _graft_real_jpeg(spark, rows: int = 4000) -> dict:
     codec — the honest cost of real-bitstream decode through the Spark
     plumbing, reported separately so the main graft number stays comparable
     across rounds (stub codec, unchanged input)."""
-    from pyspark.sql import functions as F
-
-    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
-    from dataqualitycontroltool_spark.graft.synth import write_images
-
-    path = f"/tmp/dqc_bench_realjpeg_{rows}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        write_images(spark, path, rows, n_partitions=32, real_jpeg_frac=1.0)
-    df = spark.read.parquet(path)
-    n = df.count()
-    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
-    run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_rjwarm")
-    t0 = time.perf_counter()
-    run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_rjout")
-    wall = time.perf_counter() - t0
-    return {"rows": n, "wall_s": round(wall, 2),
-            "images_per_sec": round(n / wall, 1)}
+    return _timed_graft(spark, rows, "rj", real_jpeg_frac=1.0)
 
 
 def _graft_real_webp(spark, rows: int = 4000) -> dict:
@@ -175,48 +170,14 @@ def _graft_real_webp(spark, rows: int = 4000) -> dict:
     GENUINE lossless RIFF/VP8L bitstream decoded by the built-in numpy
     codec (graft/vp8l.py) — the real-WebP twin of _graft_real_jpeg, new in
     r4 with the VP8L codec."""
-    from pyspark.sql import functions as F
-
-    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
-    from dataqualitycontroltool_spark.graft.synth import write_images
-
-    path = f"/tmp/dqc_bench_realwebp_{rows}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        write_images(spark, path, rows, n_partitions=32, real_webp_frac=1.0)
-    df = spark.read.parquet(path)
-    n = df.count()
-    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
-    run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_rwwarm")
-    t0 = time.perf_counter()
-    run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_rwout")
-    wall = time.perf_counter() - t0
-    return {"rows": n, "wall_s": round(wall, 2),
-            "images_per_sec": round(n / wall, 1)}
+    return _timed_graft(spark, rows, "rw", real_webp_frac=1.0)
 
 
 def _graft_throughput(spark, cpus: int, rows: int = 8000) -> dict:
     """Images/sec of the full quality-filter pipeline at this session's
     parallelism (ties BENCH_r{N}.json to BASELINE.md's throughput target;
-    the N-vs-4N scaling evidence lives in bench_scaling.py / BENCH/).
-    Input is generated once per boot and cached on disk; a 25% warm-up pass
-    spawns the Python UDF worker fleet before the timed run."""
-    from pyspark.sql import functions as F
-
-    from dataqualitycontroltool_spark.graft.pipeline import run_pipeline
-    from dataqualitycontroltool_spark.graft.synth import write_images
-
-    path = f"/tmp/dqc_bench_images_{rows}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        write_images(spark, path, rows, n_partitions=32)
-    df = spark.read.parquet(path)
-    n = df.count()
-    warm = df.where(F.pmod(F.xxhash64("image_id"), F.lit(4)) == 0)
-    run_pipeline(warm).write.mode("overwrite").parquet("/tmp/dqc_bench_warm")
-    t0 = time.perf_counter()
-    run_pipeline(df).write.mode("overwrite").parquet("/tmp/dqc_bench_out")
-    wall = time.perf_counter() - t0
-    return {"rows": n, "wall_s": round(wall, 2),
-            "images_per_sec": round(n / wall, 1)}
+    the N-vs-4N scaling evidence lives in bench_scaling.py / BENCH/)."""
+    return _timed_graft(spark, rows, "main")
 
 
 if __name__ == "__main__":

@@ -780,6 +780,29 @@ def _encode_image_body(
     a_freq: dict[int, int] = {}
     d_freq: dict[int, int] = {}
 
+    def emit_run(kind: str, dist_value: int, i: int, run: int) -> None:
+        """Tokenize one backward-reference run: 4096-capped length chunks
+        with their length/distance symbol frequencies, then mirror the
+        decoder's per-copied-pixel cache inserts.  The decoder inserts
+        EVERY copied pixel, but cache state is last-writer-per-key and the
+        copied sequence repeats with the reference distance's period, so
+        only the final min(run, dist) positions can determine it: one
+        value for a dist-1 run, at most one row for an up-run."""
+        left = run
+        while left:
+            chunk = min(left, 4096)
+            tokens.append((kind, chunk))
+            ls, _, _ = _lz77_encode(chunk)
+            g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
+            ds, _, _ = _lz77_encode(dist_value)
+            d_freq[ds] = d_freq.get(ds, 0) + 1
+            left -= chunk
+        if cache_bits:
+            dist = 1 if kind == "run" else width
+            for j in range(max(i, i + run - dist), i + run):
+                pxr = argb[j]
+                cache[_cache_key(pxr, cache_bits)] = pxr
+
     i = 0
     while i < n:
         if same_as_prev[i]:
@@ -787,21 +810,7 @@ def _encode_image_body(
             while i + run < n and same_as_prev[i + run]:
                 run += 1
             if run >= 3 or cache_bits == 0:
-                left = run
-                while left:
-                    chunk = min(left, 4096)
-                    tokens.append(("run", chunk))
-                    ls, _, _ = _lz77_encode(chunk)
-                    g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
-                    ds, _, _ = _lz77_encode(2)  # dist_code 2 -> (1, 0) -> 1
-                    d_freq[ds] = d_freq.get(ds, 0) + 1
-                    left -= chunk
-                if cache_bits:
-                    # the decoder inserts every COPIED pixel into its cache;
-                    # mirror it or later cache-hit symbols replay wrong (a
-                    # dist-1 run copies one value, so one insert covers it)
-                    pxr = argb[i]
-                    cache[_cache_key(pxr, cache_bits)] = pxr
+                emit_run("run", 2, i, run)  # dist_code 2 -> (1, 0) -> 1
                 i += run
                 continue
             # short runs fall through pixel-by-pixel (cache may cover them)
@@ -810,21 +819,7 @@ def _encode_image_body(
             while i + run < n and same_as_up[i + run]:
                 run += 1
             if run >= 3:
-                left = run
-                while left:
-                    chunk = min(left, 4096)
-                    tokens.append(("upr", chunk))
-                    ls, _, _ = _lz77_encode(chunk)
-                    g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
-                    ds, _, _ = _lz77_encode(1)  # dist_code 1 -> (0, 1) -> w
-                    d_freq[ds] = d_freq.get(ds, 0) + 1
-                    left -= chunk
-                if cache_bits:
-                    # an up-run copies VARYING values — mirror the
-                    # decoder's per-copied-pixel cache inserts exactly
-                    for j in range(i, i + run):
-                        pxr = argb[j]
-                        cache[_cache_key(pxr, cache_bits)] = pxr
+                emit_run("upr", 1, i, run)  # dist_code 1 -> (0, 1) -> w
                 i += run
                 continue
             # short up-runs fall through to the literal/cache path

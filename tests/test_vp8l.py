@@ -526,6 +526,7 @@ def test_color_transform_delta_semantics():
     # delta(r2b=16, red=50) = (16*50)>>5 = 25 -> blue = 30-20+25 = 35
     assert tuple(out[0, 0]) == (50, 20, 35)
 
+
 def test_meta_prefix_group_claim_bounded():
     """A crafted meta sub-image claiming 65536 groups against a near-empty
     stream must raise (the eager 5-LUTs-per-group build would otherwise be
@@ -553,6 +554,7 @@ def test_meta_prefix_group_claim_bounded():
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     with pytest.raises(ValueError, match="group count|truncated|invalid"):
         vp8l.decode(blob)
+
 
 def test_fuzz_mutated_streams_decode_or_valueerror():
     """Codec contract under corruption: any bit-flip / truncation / byte
@@ -589,6 +591,7 @@ def test_fuzz_mutated_streams_decode_or_valueerror():
                 codecs.decode(bytes(data), "webp")
             except ValueError:
                 pass
+
 
 def test_up_run_backward_references():
     """LZ77 up-runs (distance = width, dist_code 1): repeated rows must
