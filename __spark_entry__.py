@@ -1146,7 +1146,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is load-bearing: the driver's correctness gate records
+    # only the FIRST 50 entries (observed r2=45/45, r3=50/72, r4=50/73 —
+    # cutoff exactly at position 50 both rounds).  Rotation policy (r4
+    # verdict #1): queries that have never received a driver correctness row
+    # (r3/r4 positions 51-73, dedup_semantic..ann_recall) are listed FIRST in
+    # round 5; the displaced 27 each hold two rounds of green driver rows
+    # (CORRECTNESS_r03/r04), so every registered query has >=1 green driver
+    # row across r4+r5.  See SURVEY.md §10.
     return {
+        # -- never driver-checked before r5 (r3/r4 positions 51-73) --------
+        "dedup_semantic": q_dedup_semantic,
+        "decontaminate_documents": q_decontaminate_documents,
+        "text_repetition": q_text_repetition,
+        "boilerplate_line_removal": q_boilerplate_line_removal,
+        "repeated_spans_documents": q_repeated_spans_documents,
+        "remove_spans_documents": q_remove_spans_documents,
+        "decontaminate_spans_docs": q_decontaminate_spans_docs,
+        "text_hygiene_docs": q_text_hygiene_docs,
+        "distribution_drift_lineitem": q_distribution_drift_lineitem,
+        "category_drift_orders": q_category_drift_orders,
+        "completeness_drift_orders": q_completeness_drift_orders,
+        "cross_source_overlap": q_cross_source_overlap,
+        "skew_report_events": q_skew_report_events,
+        "perplexity_backoff_docs": q_perplexity_backoff_docs,
+        "temperature_sample_docs": q_temperature_sample_docs,
+        "leakage_safe_split_docs": q_leakage_safe_split_docs,
+        "corpus_accounting_docs": q_corpus_accounting_docs,
+        "normalize_scores_docs": q_normalize_scores_docs,
+        "quality_classifier_docs": q_quality_classifier_docs,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "export_shards_documents": q_export_shards_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "ann_recall": q_ann_recall,
+        # -- two rounds of green driver rows each (r3+r4) -------------------
         "profile_numeric_quantity": q_profile_numeric_quantity,
         "profile_numeric_extendedprice": q_profile_numeric_extendedprice,
         "profile_integer_psize": q_profile_integer_psize,
@@ -1197,29 +1230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch_events": q_sessionize_batch_events,
         "dicom_sequence_report": q_dicom_sequence_report,
         "image_channel_stats": q_image_channel_stats,
-        "dedup_semantic": q_dedup_semantic,
-        "decontaminate_documents": q_decontaminate_documents,
-        "text_repetition": q_text_repetition,
-        "boilerplate_line_removal": q_boilerplate_line_removal,
-        "repeated_spans_documents": q_repeated_spans_documents,
-        "remove_spans_documents": q_remove_spans_documents,
-        "decontaminate_spans_docs": q_decontaminate_spans_docs,
-        "text_hygiene_docs": q_text_hygiene_docs,
-        "distribution_drift_lineitem": q_distribution_drift_lineitem,
-        "category_drift_orders": q_category_drift_orders,
-        "completeness_drift_orders": q_completeness_drift_orders,
-        "cross_source_overlap": q_cross_source_overlap,
-        "skew_report_events": q_skew_report_events,
-        "perplexity_backoff_docs": q_perplexity_backoff_docs,
-        "temperature_sample_docs": q_temperature_sample_docs,
-        "leakage_safe_split_docs": q_leakage_safe_split_docs,
-        "corpus_accounting_docs": q_corpus_accounting_docs,
-        "normalize_scores_docs": q_normalize_scores_docs,
-        "quality_classifier_docs": q_quality_classifier_docs,
-        "stratified_sample_documents": q_stratified_sample_documents,
-        "export_shards_documents": q_export_shards_documents,
-        "pack_sequences_documents": q_pack_sequences_documents,
-        "ann_recall": q_ann_recall,
     }
 
 
