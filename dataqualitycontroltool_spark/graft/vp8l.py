@@ -129,27 +129,75 @@ class _BitReader:
     """Bit reader over a precomputed sliding 15-bit window: every position's
     next-15-bits value is materialized once (vectorized), so read_bits is
     one mask and prefix decode is one LUT lookup — the same packed-LUT
-    move that took the JPEG decoder from 67 to 10 ms/image."""
+    move that took the JPEG decoder from 67 to 10 ms/image.
+
+    Memory contract for untrusted corpus bytes: the peek window is uint16
+    (15 bits fit) and built in bounded chunks, so a stream costs ~16x its
+    size, and streams above ``ONDEMAND_BYTES`` skip the window entirely and
+    extract bits on demand from the packed bytes.  Prefix-LUT allocations
+    are charged against ``lut_budget`` (proportional to the stream's bit
+    count) via :meth:`charge_lut` — a crafted stream cannot amplify a few
+    header bits into unbounded table memory."""
 
     PEEK = MAX_CODE_LENGTH  # 15: max prefix-code length == max field width
+    ONDEMAND_BYTES = 2 << 20  # above 2 MiB, no precomputed window (16x RAM)
 
     def __init__(self, data: bytes) -> None:
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        arr = np.frombuffer(data, dtype=np.uint8)
-        bits = np.unpackbits(arr, bitorder="little")
-        self._nbits = int(bits.size)
-        padded = np.concatenate([bits, np.zeros(self.PEEK, np.uint8)])
-        pows = (1 << np.arange(self.PEEK)).astype(np.int32)
-        self._peek = sliding_window_view(padded, self.PEEK) @ pows
+        self._nbits = len(data) * 8
         self._pos = 0
+        # cumulative prefix-LUT entry budget: one full-depth group is always
+        # affordable (floor), beyond that table memory must be proportional
+        # to the bits actually present in the stream
+        self.lut_spent = 0
+        self.lut_budget = max(6 << MAX_CODE_LENGTH, 32 * self._nbits)
+        if len(data) <= self.ONDEMAND_BYTES:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            arr = np.frombuffer(data, dtype=np.uint8)
+            bits = np.unpackbits(arr, bitorder="little")
+            padded = np.concatenate([bits, np.zeros(self.PEEK, np.uint8)])
+            win = sliding_window_view(padded, self.PEEK)
+            pows = (1 << np.arange(self.PEEK)).astype(np.uint16)
+            peek = np.empty(self._nbits + 1, dtype=np.uint16)
+            step = 1 << 20  # bound the (chunk, 15) matmul transient
+            for lo in range(0, self._nbits + 1, step):
+                hi = min(lo + step, self._nbits + 1)
+                peek[lo:hi] = win[lo:hi] @ pows
+            self._peek = peek
+            self._data = None
+        else:
+            self._peek = None
+            self._data = bytes(data) + b"\x00\x00\x00"
+
+    def _pk(self, pos: int) -> int:
+        """Next-15-bits value at ``pos`` for the on-demand (large-stream)
+        mode: 3 packed bytes cover any 7-bit shift + 15-bit field."""
+        d, byte = self._data, pos >> 3
+        v = d[byte] | (d[byte + 1] << 8) | (d[byte + 2] << 16)
+        return (v >> (pos & 7)) & 0x7FFF
+
+    def charge_lut(self, entries: int) -> None:
+        self.lut_spent += entries
+        if self.lut_spent > self.lut_budget:
+            raise ValueError(
+                "VP8L: prefix-table memory exceeds the stream-size budget"
+            )
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
         if self._pos + n > self._nbits:
             raise ValueError("VP8L: truncated stream")
-        v = int(self._peek[self._pos]) & ((1 << n) - 1)
+        peek = self._peek
+        if peek is not None:
+            v = int(peek[self._pos])
+            if n > self.PEEK:  # LZ77 distance extras reach 18 bits
+                v |= int(peek[self._pos + self.PEEK]) << self.PEEK
+        else:
+            v = self._pk(self._pos)
+            if n > self.PEEK:
+                v |= self._pk(self._pos + self.PEEK) << self.PEEK
+        v &= (1 << n) - 1
         self._pos += n
         return v
 
@@ -171,7 +219,10 @@ class _BitReader:
         lut_sym, lut_len, single, mask = lut
         if single is not None:
             return single
-        key = int(self._peek[self._pos]) & mask
+        peek = self._peek
+        key = (
+            int(peek[self._pos]) if peek is not None else self._pk(self._pos)
+        ) & mask
         ln = int(lut_len[key])
         if ln == 0:
             raise ValueError("VP8L: invalid prefix code in stream")
@@ -261,12 +312,21 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
 
 
 def _decode_table(length_list: list[int]):
-    """lengths (0 = absent) -> (lookup {(len, code): sym}, single_or_None)."""
+    """lengths (0 = absent) -> (lookup {(len, code): sym}, single_or_None).
+
+    Multi-symbol length sets must be Kraft-COMPLETE (sum 2^-l == 1), as
+    strict decoders (libwebp's BuildHuffmanTable) require: an incomplete
+    set would let a crafted header assign long lengths to a whole alphabet
+    with zero stream bits per symbol — the memory-amplification vector
+    flagged in round-4 ADVICE (a 59 KB stream buying 1.24 GB of LUTs)."""
     lengths = {s: l for s, l in enumerate(length_list) if l > 0}
     if not lengths:
         raise ValueError("VP8L: empty prefix code")
     if len(lengths) == 1:
         return {}, next(iter(lengths))
+    kraft = sum(1 << (MAX_CODE_LENGTH - l) for l in lengths.values())
+    if kraft != 1 << MAX_CODE_LENGTH:
+        raise ValueError("VP8L: incomplete or oversubscribed prefix code")
     table = {
         (l, code): sym for sym, (code, l) in _canonical_codes(lengths).items()
     }
@@ -1172,13 +1232,22 @@ def _decode_image_body(
             np.repeat(np.repeat(gidx.reshape(mh, mw), 1 << mbits, 0), 1 << mbits, 1)
             [:h, :w].ravel().tolist()
         )
+    def read_lut_charged(alphabet_size: int):
+        # charge the LUT allocation (2^Lmax entries) against the reader's
+        # stream-proportional budget BEFORE building it: even Kraft-complete
+        # codes can be crafted deep-and-cheap across many meta groups
+        table, single = _read_prefix_code(br, alphabet_size)
+        if single is None:
+            br.charge_lut(1 << max(length for (length, _c) in table))
+        return _lut_of(table, single)
+
     groups = [
         (
-            _lut_of(*_read_prefix_code(br, NUM_LITERAL + NUM_LENGTH + cache_size)),
-            _lut_of(*_read_prefix_code(br, NUM_LITERAL)),
-            _lut_of(*_read_prefix_code(br, NUM_LITERAL)),
-            _lut_of(*_read_prefix_code(br, NUM_LITERAL)),
-            _lut_of(*_read_prefix_code(br, NUM_DISTANCE)),
+            read_lut_charged(NUM_LITERAL + NUM_LENGTH + cache_size),
+            read_lut_charged(NUM_LITERAL),
+            read_lut_charged(NUM_LITERAL),
+            read_lut_charged(NUM_LITERAL),
+            read_lut_charged(NUM_DISTANCE),
         )
         for _ in range(n_groups)
     ]
