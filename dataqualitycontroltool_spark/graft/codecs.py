@@ -269,10 +269,13 @@ def jpeg_encode(rgb: np.ndarray, quality: int = JPEG_QUALITY) -> bytes:
 
 def jpeg_roundtrip(rgb: np.ndarray, quality: int = JPEG_QUALITY) -> np.ndarray:
     """decode(encode(x)) through the REAL JPEG codec — the honest lossy
-    fidelity loop for genuine JFIF bitstreams."""
+    fidelity loop for genuine JFIF bitstreams.  Computed in the transform
+    domain (entropy coding is lossless, so the round-trip image is fully
+    determined before Huffman): bit-identical to the full bitstream loop —
+    pinned in tests/test_jpeg.py::test_quant_roundtrip_equals_bitstream."""
     from dataqualitycontroltool_spark.graft import jpeg
 
-    return jpeg.decode(jpeg.encode(rgb, quality))
+    return jpeg.quant_roundtrip(rgb, quality)
 
 
 def decode(data: bytes, fmt: str) -> np.ndarray:

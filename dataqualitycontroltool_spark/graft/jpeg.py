@@ -263,7 +263,7 @@ def _magnitude(v: int) -> tuple[int, int]:
 def _encode_plane_coeffs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """Level shift, DCT, quantize, zigzag: (H, W) -> (n_blocks, 64) int32."""
     blocks = _to_blocks(plane - 128.0)
-    coeffs = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+    coeffs = (_D @ blocks) @ _D.T  # BLAS path; == einsum up to last-ulp
     quant = np.round(coeffs / qt[None, :, :]).astype(np.int32)
     return quant.reshape(-1, 64)[:, ZIGZAG]
 
@@ -372,6 +372,45 @@ def encode(rgb: np.ndarray, quality: int = 95, restart_interval: int = 0) -> byt
     return bytes(out)
 
 
+def quant_roundtrip(rgb: np.ndarray, quality: int = 95) -> np.ndarray:
+    """``decode(encode(rgb, quality))`` computed in the transform domain.
+
+    Entropy coding (Huffman + byte stuffing) is LOSSLESS, so the decoded
+    round-trip image is fully determined by level-shift → FDCT → quantize
+    → dequantize → IDCT → color transform.  This runs the exact same numpy
+    expressions as ``encode``/``decode`` in the same order and dtypes, so
+    the result is bit-identical to the full bitstream round-trip (pinned in
+    tests/test_jpeg.py) at a fraction of the cost — the honest optimization
+    for PSNR gating, where only the round-trip IMAGE is needed, never the
+    bitstream.  The input bitstream of a validation row still pays its one
+    genuine entropy decode."""
+    gray = rgb.ndim == 2
+    if gray:
+        rgb = rgb[:, :, None]
+    h, w, nc = rgb.shape
+    if nc not in (1, 3):
+        raise ValueError(f"expected 1 or 3 channels, got {nc}")
+    qt_l, qt_c = _quality_tables(quality)
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(rgb, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+    if nc == 3:
+        ycc = rgb_to_ycbcr(padded)
+        comps = [(ycc[..., 0], qt_l), (ycc[..., 1], qt_c), (ycc[..., 2], qt_c)]
+    else:
+        comps = [(padded[..., 0].astype(np.float64), qt_l)]
+    planes = []
+    for plane, qt in comps:
+        zz = _encode_plane_coeffs(plane, qt)  # encoder side, verbatim
+        qtf = qt.astype(np.float64)  # decoder side, verbatim
+        deq = zz[:, UNZIGZAG].reshape(-1, 8, 8) * qtf[None, :, :]
+        spatial = (_D.T @ deq) @ _D + 128.0  # BLAS path; == einsum to last-ulp
+        planes.append(_from_blocks(spatial, h8, w8)[:h, :w])
+    if nc == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -410,19 +449,24 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
     return segs
 
 
-# (bits||vals) -> packed LUT: for every 16-bit lookahead window, entry
-# (code_length << 8) | symbol; 0 = invalid prefix.  A plain Python list
-# beats an ndarray for scalar indexing in the per-coefficient loop, and the
-# standard Annex K tables hit this cache on every image.  BOUNDED (FIFO):
-# real-world encoders emit per-image optimized Huffman tables, and a
-# long-lived executor worker decoding millions of distinct JPEGs must not
-# accumulate one ~2MB list per unique table.
+# (class, bits||vals) -> packed LUT: for every 16-bit lookahead window, the
+# entry is (code_length << 16) | (code_length + amplitude_size) << 8 | symbol
+# — the hot loop gets the symbol, its own length AND the total bit advance
+# (code + amplitude) in ONE list index; 0 = invalid prefix.  DC symbols ARE
+# the amplitude size (T.81 F.1.2.1), so symbols > 15 — impossible under a
+# legal table but expressible in a crafted DHT — stay 0/invalid rather than
+# implying a >16-bit amplitude read.  A plain Python list beats an ndarray
+# for scalar indexing in the per-coefficient loop, and the standard Annex K
+# tables hit this cache on every image.  BOUNDED (FIFO): real-world encoders
+# emit per-image optimized Huffman tables, and a long-lived executor worker
+# decoding millions of distinct JPEGs must not accumulate one ~2MB list per
+# unique table.
 _LUT_CACHE: dict[bytes, list[int]] = {}
 _LUT_CACHE_MAX = 16
 
 
-def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
-    key = bytes(bits) + bytes(vals)
+def _huff_lut(tc: int, bits: list[int], vals: list[int]) -> list[int]:
+    key = bytes([tc]) + bytes(bits) + bytes(vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -431,8 +475,13 @@ def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            base = code << (16 - length)
-            lut[base : base + (1 << (16 - length))] = (length << 8) | vals[k]
+            sym = vals[k]
+            s = sym if tc == 0 else sym & 0x0F
+            if not (tc == 0 and sym > 15):  # malformed DC symbol stays 0
+                base = code << (16 - length)
+                lut[base : base + (1 << (16 - length))] = (
+                    (length << 16) | ((length + s) << 8) | sym
+                )
             code += 1
             k += 1
         code <<= 1
@@ -441,6 +490,44 @@ def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
         _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = out
     return out
+
+
+# Sign-extension LUT (T.81 F.2.2.1 EXTEND): entry (s << 11) | raw11 is the
+# signed amplitude whose s magnitude bits are the TOP s bits of the 11-bit
+# lookahead raw11 — one list index replaces the mask/compare/extend sequence
+# per coefficient.  11 bits cover every legal baseline size (AC <= 10,
+# DC <= 11); s in 12..15 (crafted tables) falls back to inline arithmetic.
+_EXT: list[int] | None = None
+_EXT_MAX_S = 11
+
+
+def _ext_lut() -> list[int]:
+    global _EXT
+    if _EXT is None:
+        s = np.arange(_EXT_MAX_S + 1)[:, None]
+        raw = np.arange(2048)[None, :]
+        v = raw >> (11 - s)
+        half = np.where(s > 0, 1 << np.maximum(s - 1, 0), 1)
+        ext = np.where(v >= half, v, v - (1 << s) + 1)
+        ext[0, :] = 0
+        _EXT = np.concatenate(
+            [ext, np.zeros((16 - _EXT_MAX_S - 1, 2048), ext.dtype)]
+        ).ravel().tolist()
+    return _EXT
+
+
+def _seg_words(seg: bytes) -> list[int]:
+    """Per-byte 40-bit big-endian windows of ``seg`` + 8 bytes of 1-bit pad
+    (the truncation canary, as before) + ~6 MCUs worth of zero windows so an
+    overrunning decode hits the per-MCU truncation check before any index
+    can leave the list."""
+    b = np.frombuffer(seg + b"\xff" * 8, np.uint8).astype(np.int64)
+    words = (
+        (b[:-4] << 32) | (b[1:-3] << 24) | (b[2:-2] << 16)
+        | (b[3:-1] << 8) | b[4:]
+    ).tolist()
+    words.extend([0] * 800)
+    return words
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -503,7 +590,9 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(seg[sp + 1 : sp + 17])
                 nv = sum(bits)
                 vals = list(seg[sp + 17 : sp + 17 + nv])
-                htables[(tc, th)] = _huff_lut(bits, vals)
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
+                htables[(tc, th)] = _huff_lut(tc, bits, vals)
                 sp += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -539,9 +628,12 @@ def decode(data: bytes) -> np.ndarray:
     ]
     segs = _entropy_segments(data, scan_start)
     seg_i = 0
-    # 8 pad bytes of 1-bits give the 5-byte window lookahead past the end;
-    # consuming into them (p > nbits) is the truncation signal
-    buf = segs[0] + b"\xff" * 8
+    # per-byte 40-bit windows (one list index serves the <=16-bit symbol AND
+    # its <=15-bit amplitude at any misalignment); 1-bit pad bytes make
+    # consuming past the end (p > nbits) the truncation signal, checked per
+    # MCU so an overrun can never index out of the padded window list
+    ext = _ext_lut()
+    words = _seg_words(segs[0])
     nbits = 8 * len(segs[0])
     p = 0
     dc_prev = [0] * ncomp
@@ -552,59 +644,73 @@ def decode(data: bytes) -> np.ndarray:
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("expected restart marker, hit end of stream")
-            buf = segs[seg_i] + b"\xff" * 8
+            words = _seg_words(segs[seg_i])
             nbits = 8 * len(segs[seg_i])
             p = 0
             dc_prev = [0] * ncomp
+        elif p > nbits:
+            raise ValueError("truncated JPEG entropy stream")
         base = b * 64
         for ci in range(ncomp):
             dc_lut, ac_lut = luts[ci]
             zz = coeff_lists[ci]
-            # one 40-bit window serves the symbol (<=16 bits) AND its
-            # amplitude (<=11 bits) even at the worst 7-bit misalignment
-            i = p >> 3
-            word = int.from_bytes(buf[i : i + 5], "big")
-            off = p & 7
-            e = dc_lut[(word >> (24 - off)) & 0xFFFF]
+            word = words[p >> 3]
+            off24 = 24 - (p & 7)
+            e = dc_lut[(word >> off24) & 0xFFFF]
             if e == 0:
                 raise ValueError("invalid Huffman code in entropy stream")
-            ln = e >> 8
             s = e & 0xFF
-            p += ln
+            p += (e >> 8) & 0xFF
             if s:
-                bits_v = (word >> (40 - off - ln - s)) & ((1 << s) - 1)
-                p += s
-                dc_prev[ci] += (
-                    bits_v if bits_v >= (1 << (s - 1)) else bits_v - (1 << s) + 1
-                )
+                if s <= _EXT_MAX_S:
+                    dc_prev[ci] += ext[
+                        (s << 11) | ((word >> (off24 + 5 - (e >> 16))) & 0x7FF)
+                    ]
+                else:  # 12..15: legal bit budget, outside the EXT window
+                    bits_v = (word >> (off24 + 16 - ((e >> 8) & 0xFF))) & (
+                        (1 << s) - 1
+                    )
+                    dc_prev[ci] += (
+                        bits_v
+                        if bits_v >= (1 << (s - 1))
+                        else bits_v - (1 << s) + 1
+                    )
             zz[base] = dc_prev[ci]
             k = 1
             while k < 64:
-                i = p >> 3
-                word = int.from_bytes(buf[i : i + 5], "big")
-                off = p & 7
-                e = ac_lut[(word >> (24 - off)) & 0xFFFF]
+                word = words[p >> 3]
+                off24 = 24 - (p & 7)
+                e = ac_lut[(word >> off24) & 0xFFFF]
                 if e == 0:
                     raise ValueError("invalid Huffman code in entropy stream")
-                ln = e >> 8
                 sym = e & 0xFF
-                p += ln
                 if sym == 0x00:  # EOB
+                    p += e >> 16
                     break
                 s = sym & 0x0F
                 if s == 0:
                     if sym != 0xF0:
                         raise ValueError("invalid AC symbol")
+                    p += e >> 16
                     k += 16  # ZRL
                     continue
                 k += sym >> 4
                 if k > 63:
                     raise ValueError("AC run past end of block")
-                bits_v = (word >> (40 - off - ln - s)) & ((1 << s) - 1)
-                p += s
-                zz[base + k] = (
-                    bits_v if bits_v >= (1 << (s - 1)) else bits_v - (1 << s) + 1
-                )
+                p += (e >> 8) & 0xFF
+                if s <= _EXT_MAX_S:
+                    zz[base + k] = ext[
+                        (s << 11) | ((word >> (off24 + 5 - (e >> 16))) & 0x7FF)
+                    ]
+                else:
+                    bits_v = (word >> (off24 + 16 - ((e >> 8) & 0xFF))) & (
+                        (1 << s) - 1
+                    )
+                    zz[base + k] = (
+                        bits_v
+                        if bits_v >= (1 << (s - 1))
+                        else bits_v - (1 << s) + 1
+                    )
                 k += 1
     if p > nbits:
         # a truncated entropy stream must FAIL, matching the stub codec's
@@ -618,7 +724,7 @@ def decode(data: bytes) -> np.ndarray:
     for ci in range(ncomp):
         qt = qtables[comp_q[ci]].astype(np.float64)
         deq = coeffs[ci][:, UNZIGZAG].reshape(-1, 8, 8) * qt[None, :, :]
-        spatial = np.einsum("ji,njk,kl->nil", _D, deq, _D) + 128.0
+        spatial = (_D.T @ deq) @ _D + 128.0  # BLAS path; == einsum to last-ulp
         planes.append(_from_blocks(spatial, h8, w8)[:h, :w])
     if ncomp == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -183,7 +183,7 @@ def test_lut_cache_is_bounded():
     for sym in range(_LUT_CACHE_MAX * 3):
         bits = [0] * 16
         bits[7] = 1
-        _huff_lut(bits, [sym % 251])
+        _huff_lut(1, bits, [sym % 251])
     assert len(_LUT_CACHE) <= _LUT_CACHE_MAX
 
 
@@ -227,3 +227,34 @@ def test_fuzz_mutated_streams_decode_or_valueerror():
                 codecs.decode(bytes(data), "jpeg")
             except ValueError:
                 pass
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (17, 23), (64, 64), (40, 96)])
+@pytest.mark.parametrize("quality", [50, 75, 95])
+def test_quant_roundtrip_equals_bitstream(hw, quality):
+    """quant_roundtrip is the transform-domain shortcut check_bytes uses for
+    PSNR gating: it must be BIT-IDENTICAL to the full bitstream loop
+    (entropy coding is lossless), or the shortcut would be a fidelity lie."""
+    h, w = hw
+    img = _natural(h, w, seed=h * w + quality)
+    assert np.array_equal(
+        jpeg.quant_roundtrip(img, quality), jpeg.decode(jpeg.encode(img, quality))
+    )
+
+
+def test_quant_roundtrip_equals_bitstream_gray():
+    g = _natural(24, 32, seed=5)[:, :, 0]
+    assert np.array_equal(
+        jpeg.quant_roundtrip(g, 85), jpeg.decode(jpeg.encode(g, 85))
+    )
+
+
+def test_quant_roundtrip_random_images_property():
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        q = int(rng.integers(30, 100))
+        assert np.array_equal(
+            jpeg.quant_roundtrip(img, q), jpeg.decode(jpeg.encode(img, q))
+        )
