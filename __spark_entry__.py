@@ -807,15 +807,17 @@ def q_cross_source_overlap(spark, sf_dir):
 def q_quality_classifier_docs(spark, sf_dir):
     """Learned keep/drop filter by rule distillation (the CCNet layout:
     a cheap classifier reproduces filtering decisions): logistic
-    regression trained ON the engine — 24 full-batch GD steps, each ONE
-    map-side-combinable global aggregate; the model is 4 driver doubles
-    folded into the scoring projection — with the hand-written
-    text_quality keep rule as the label and three continuous signals
-    (saturating token count, mean token length, alpha ratio) as features.
-    Reaches F1 ~0.98 vs its teacher rule on the sf corpus with zero
-    false keeps (pytest-pinned >= 0.9).  Gradients round to 9 decimals
-    inside the aggregate so the trained weights replay bit-identically in
-    the unrolled SQL twin."""
+    regression trained ON the engine — 4 ridge-IRLS Newton steps (r5;
+    was 24 GD steps), each ONE map-side-combinable global aggregate of
+    14 doubles (symmetric 4x4 moment matrix + gradient); the model is 4
+    driver doubles folded into the scoring projection — with the
+    hand-written text_quality keep rule as the label and three continuous
+    signals (saturating token count, mean token length, alpha ratio) as
+    features.  Reaches F1 = 1.0 vs its teacher rule on the sf corpus with
+    zero false keeps (pytest-pinned >= 0.9).  Moments round to 9 decimals
+    inside the aggregate and the Cramer solve evaluates the same
+    expression text as the SQL twin, so the trained weights replay
+    bit-identically in DuckDB."""
     from dataqualitycontroltool_spark.operators import classifier
     from dataqualitycontroltool_spark.operators.dedup import let, tokens
 
@@ -853,7 +855,9 @@ def q_quality_classifier_docs(spark, sf_dir):
         (F.least(F.col("_s.mtl"), F.lit(10.0)) / F.lit(10.0)).alias("x2"),
         "x3",
     )
-    out = classifier.train_and_score(feat, ["x1", "x2", "x3"], "y", steps=24, lr=64.0)
+    out = classifier.train_and_score(
+        feat, ["x1", "x2", "x3"], "y", steps=4, optimizer="irls", ridge=1e-3
+    )
     return out.select("doc_id", "p", "keep")
 
 
@@ -1479,14 +1483,78 @@ _SPANS_CTE = r"""
             )"""
 
 
-def _logit_oracle_sql(steps: int = 24, lr: str = "64.0") -> str:
-    """Unrolled SQL twin of q_quality_classifier_docs: the same features
-    and teacher-rule label, the same left-associated z, gradients rounded
-    to 9 inside each step's aggregate, weights updated in exact arithmetic
-    (lr a power of two) — so the replayed weights (and hence p) match the
-    Spark driver-loop bit-for-bit.  Every CTE is MATERIALIZED: without it
-    DuckDB inlines the w-chain and the plan grows exponentially in steps."""
-    feat = r"""feat AS MATERIALIZED (
+def _irls_oracle_sql(steps: int = 4, ridge: str = "0.001") -> str:
+    """Unrolled SQL twin of q_quality_classifier_docs (ridge-IRLS, r5):
+    the same features and teacher-rule label, the same left-associated z,
+    the 14 moments rounded to 9 inside each step's aggregate, the ridge
+    added to the rounded diagonal, and the Cramer solve pasted from the
+    SAME ``irls_update_exprs`` strings the Spark driver ``eval``s — so the
+    replayed weights (and hence p) match bit-for-bit.  Every CTE is
+    MATERIALIZED so DuckDB doesn't inline the w-chain."""
+    from dataqualitycontroltool_spark.operators.classifier import (
+        irls_update_exprs,
+    )
+
+    nums, den = irls_update_exprs()
+    ctes = [
+        _CLASSIFIER_FEAT_SQL,
+        "w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    moment = {}
+    names = ["1.0", "x1", "x2", "x3"]
+    for i in range(4):
+        for j in range(i, 4):
+            f = "r"
+            if i > 0:
+                f += f" * {names[i]}"
+            if j > 0:
+                f += f" * {names[j]}"
+            moment[f"a{i}{j}"] = f"round(avg({f}), 9)"
+    moment["b0"] = "round(avg(y - mu), 9)"
+    for i in range(1, 4):
+        moment[f"b{i}"] = f"round(avg((y - mu) * {names[i]}), 9)"
+    for s in range(1, steps + 1):
+        prev = f"w{s - 1}"
+        cols = ",\n                 ".join(
+            f"{e} AS {k}" for k, e in moment.items()
+        )
+        ctes.append(
+            f"""m{s} AS MATERIALIZED (
+              SELECT {cols}
+              FROM (SELECT y, x1, x2, x3, mu, mu * (1.0 - mu) AS r
+                    FROM (SELECT feat.*,
+                                 1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2 + w3 * x3))) AS mu
+                          FROM feat CROSS JOIN {prev}))
+            )"""
+        )
+        ridged = ", ".join(
+            f"a{i}{j} + {ridge} AS a{i}{j}" if i == j else f"a{i}{j}"
+            for i in range(4) for j in range(i, 4)
+        )
+        ctes.append(
+            f"""w{s} AS MATERIALIZED (
+              SELECT b + ({nums[0]}) / ({den}) AS b,
+                     w1 + ({nums[1]}) / ({den}) AS w1,
+                     w2 + ({nums[2]}) / ({den}) AS w2,
+                     w3 + ({nums[3]}) / ({den}) AS w3
+              FROM {prev} CROSS JOIN
+                   (SELECT {ridged}, b0, b1, b2, b3 FROM m{s}) m
+            )"""
+        )
+    zf = "(b + w1 * x1 + w2 * x2 + w3 * x3)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-{zf})), 6) AS p,
+               round(1.0 / (1.0 + exp(-{zf})), 6) >= 0.5 AS keep
+        FROM feat CROSS JOIN w{steps}
+    """
+    )
+
+
+_CLASSIFIER_FEAT_SQL = r"""feat AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN (n_tokens BETWEEN 30 AND 1000)
                     AND (round(mtl, 6) BETWEEN 2.5 AND 8.0)
@@ -1506,40 +1574,6 @@ def _logit_oracle_sql(steps: int = 24, lr: str = "64.0") -> str:
                      string_split_regex(trim(lower(text)), '\s+') AS toks
               FROM documents))
     )"""
-    ctes = [
-        feat,
-        "w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
-    ]
-    for s in range(1, steps + 1):
-        prev = f"w{s - 1}"
-        p = "1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2 + w3 * x3)))"
-        ctes.append(
-            f"""g{s} AS MATERIALIZED (
-              SELECT round(avg({p} - y), 9) AS g0,
-                     round(avg(({p} - y) * x1), 9) AS gx1,
-                     round(avg(({p} - y) * x2), 9) AS gx2,
-                     round(avg(({p} - y) * x3), 9) AS gx3
-              FROM feat CROSS JOIN {prev}
-            )"""
-        )
-        ctes.append(
-            f"""w{s} AS MATERIALIZED (
-              SELECT b - {lr} * g0 AS b, w1 - {lr} * gx1 AS w1,
-                     w2 - {lr} * gx2 AS w2, w3 - {lr} * gx3 AS w3
-              FROM {prev} CROSS JOIN g{s}
-            )"""
-        )
-    zf = "(b + w1 * x1 + w2 * x2 + w3 * x3)"
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-        SELECT doc_id,
-               round(1.0 / (1.0 + exp(-{zf})), 6) AS p,
-               round(1.0 / (1.0 + exp(-{zf})), 6) >= 0.5 AS keep
-        FROM feat CROSS JOIN w{steps}
-    """
-    )
 
 
 def _hyperplane_bucket_sql() -> str:
@@ -2191,7 +2225,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM reasons
         """,
-        "quality_classifier_docs": _logit_oracle_sql(steps=24, lr="64.0"),
+        "quality_classifier_docs": _irls_oracle_sql(steps=4, ridge="0.001"),
         "repeated_spans_documents": _SPANS_CTE + r""",
             per_doc AS (
               SELECT doc_id, count(*) AS n_spans,

@@ -76,6 +76,104 @@ def train_logistic(
     return w
 
 
+def _det3(m: list[list[str]]) -> str:
+    return (
+        f"{m[0][0]} * ({m[1][1]} * {m[2][2]} - {m[1][2]} * {m[2][1]})"
+        f" - {m[0][1]} * ({m[1][0]} * {m[2][2]} - {m[1][2]} * {m[2][0]})"
+        f" + {m[0][2]} * ({m[1][0]} * {m[2][1]} - {m[1][1]} * {m[2][0]})"
+    )
+
+
+def _det4(m: list[list[str]]) -> str:
+    def minor(j: int) -> list[list[str]]:
+        return [[m[i][c] for c in range(4) if c != j] for i in range(1, 4)]
+
+    return (
+        f"{m[0][0]} * ({_det3(minor(0))})"
+        f" - {m[0][1]} * ({_det3(minor(1))})"
+        f" + {m[0][2]} * ({_det3(minor(2))})"
+        f" - {m[0][3]} * ({_det3(minor(3))})"
+    )
+
+
+def irls_update_exprs() -> tuple[list[str], str]:
+    """Cramer's-rule solve of the 4x4 IRLS normal equations as EXPRESSION
+    STRINGS over names a00..a33 (symmetric: aij -> a<min><max>) and b0..b3.
+
+    The SAME text is evaluated by the Python driver (``eval``) and pasted
+    into the DuckDB oracle as SQL, so the update arithmetic is op-for-op
+    identical across engines — the closed-form analogue of the GD twin's
+    "same left-associated z" contract.  Returns (numerators, denominator);
+    delta_k = numerators[k] / denominator."""
+    a = [[f"a{min(i, j)}{max(i, j)}" for j in range(4)] for i in range(4)]
+    den = _det4(a)
+    nums = [
+        _det4([[f"b{i}" if j == k else a[i][j] for j in range(4)]
+               for i in range(4)])
+        for k in range(4)
+    ]
+    return nums, den
+
+
+def train_logistic_irls(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 4,
+    ridge: float = 1e-3,
+) -> list[float]:
+    """Ridge-regularized IRLS (Newton) from zero init: ``steps`` jobs total,
+    each ONE map-side-combinable aggregate of 14 doubles (the symmetric
+    4x4 moment matrix X'RX and the gradient X'(y - mu), averaged), vs the
+    24 sequential jobs of plain GD — same scan shape per step, 6x fewer
+    driver round-trips, quadratic convergence.  The ridge term keeps the
+    Hessian invertible on (near-)separable teachers, where unregularized
+    Newton diverges.
+
+    Determinism contract: the 14 moments round to 9 decimals INSIDE the
+    aggregate (absorbing distributed-sum order and libm exp noise), the
+    ridge is added to the rounded diagonal, and the solve evaluates the
+    ``irls_update_exprs`` strings — the exact text the SQL twin runs — so
+    the trained weights replay bit-identically in DuckDB."""
+    if len(feature_cols) != 3:
+        raise ValueError("train_logistic_irls: exactly 3 features (4x4 solve)")
+    feats = [F.col(c) for c in feature_cols]
+    nums, den = irls_update_exprs()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(steps):
+        mu = _sigmoid(_z(w, feats))
+        r = mu * (F.lit(1.0) - mu)
+        u = [F.lit(1.0)] + feats
+        aggs = []
+        for i in range(4):
+            for j in range(i, 4):
+                e = r
+                if i > 0:
+                    e = e * u[i]
+                if j > 0:
+                    e = e * u[j]
+                aggs.append(F.round(F.avg(e), 9).alias(f"a{i}{j}"))
+        resid = F.col(label_col) - mu
+        aggs.append(F.round(F.avg(resid), 9).alias("b0"))
+        for i in range(1, 4):
+            aggs.append(F.round(F.avg(resid * u[i]), 9).alias(f"b{i}"))
+        row = df.agg(*aggs).first()
+        if row["a00"] is None:
+            raise ValueError(
+                "train_logistic_irls: no rows with non-null label/features "
+                "— nothing to train on"
+            )
+        env = {k: float(v) for k, v in row.asDict().items()}
+        for i in range(4):
+            env[f"a{i}{i}"] = env[f"a{i}{i}"] + ridge
+        d = eval(den, {"__builtins__": {}}, env)  # noqa: S307 — own exprs
+        w = [
+            w[k] + eval(nums[k], {"__builtins__": {}}, env) / d  # noqa: S307
+            for k in range(4)
+        ]
+    return w
+
+
 def score_logistic(
     df: DataFrame,
     weights: list[float],
@@ -101,8 +199,13 @@ def train_and_score(
     lr: float = 1.0,
     threshold: float = 0.5,
     cache: bool = True,
+    optimizer: str = "gd",
+    ridge: float = 1e-3,
 ) -> DataFrame:
     """Convenience: train on ``df`` then score the same frame.
+
+    ``optimizer="irls"`` uses the ridge-IRLS trainer (``steps`` Newton
+    iterations, one 14-double aggregate each) instead of per-step GD.
 
     ``cache=True`` persists the (slim — pass only id + features + label)
     feature frame so the ``steps`` epochs aggregate cached doubles instead
@@ -119,7 +222,10 @@ def train_and_score(
     if cache:
         df = df.persist()
     try:
-        w = train_logistic(df, feature_cols, label_col, steps, lr)
+        if optimizer == "irls":
+            w = train_logistic_irls(df, feature_cols, label_col, steps, ridge)
+        else:
+            w = train_logistic(df, feature_cols, label_col, steps, lr)
     finally:
         if cache:
             df.unpersist()
