@@ -222,6 +222,31 @@ def _fixed_centroids(emb):
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def _fixed_centroids_raw(emb):
+    """RAW (un-normalized) embeddings of vec_id 0..7 as plain Python float
+    lists — float32→double is exact, so these literals replay bit-identically
+    in the oracle's `WHERE vec_id < 8` CTE; norms are folded sequentially by
+    similarity.centroid_norms to match both engines' fold order."""
+    return [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+
+
+def q_ann_topk_directed(spark, sf_dir):
+    """Query-directed multi-probe ANN (Lv et al. 2007) over affinity-
+    centered LSH bits at the fixed-radius-2 probe budget (37 probes) —
+    measured recall@5 0.700 vs 0.325 for fixed-r2 random hyperplanes at the
+    same budget (sf0.01).  Bits and probe scores derive from the same 8
+    fixed centroids the IVF oracle pins, so the whole probe sequence
+    replays in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.directed_topk(
+        emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5,
+        centroids_raw=_fixed_centroids_raw(emb), probe_budget=37,
+    )
+
+
 def q_ann_topk_bucketed(spark, sf_dir):
     """Sign-LSH bucketed top-5 (8-bit bucket key from SEEDED random
     hyperplanes, inlined as literals on both engines) — the 10^12-row scale
@@ -280,6 +305,13 @@ def q_ann_recall(spark, sf_dir):
         "ivf_nprobe2": similarity.ivf_topk(
             emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5, nprobe=2,
             centroids=_fixed_centroids(emb),
+        ),
+        # r5: query-directed multi-probe (Lv et al.) over affinity-centered
+        # bits at the SAME 37-probe budget as bucketed_mp2 — the measured
+        # answer to r4's "0.325 at radius 2" finding
+        "directed_mp37": similarity.directed_topk(
+            emb, "vec_id", "embedding", ANN_QUERY_IDS, k=5,
+            centroids_raw=_fixed_centroids_raw(emb), probe_budget=37,
         ),
     }
     tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1183,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards_documents": q_export_shards_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "ann_recall": q_ann_recall,
+        # -- new in r5 (never driver-checked -> stays inside the 50-row gate)
+        "ann_topk_directed": q_ann_topk_directed,
         # -- two rounds of green driver rows each (r3+r4) -------------------
         "profile_numeric_quantity": q_profile_numeric_quantity,
         "profile_numeric_extendedprice": q_profile_numeric_extendedprice,
@@ -1590,6 +1624,69 @@ def _hyperplane_bucket_sql() -> str:
             f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
         )
     return " + ".join(terms)
+
+def _directed_cte_sql(n_bits: int = 8, budget: int = 37) -> str:
+    """CTE chain (expects the `n` CTE of _EMB_CTE in scope) for the
+    query-directed multi-probe ANN twin of similarity.directed_topk:
+    affinity-centered bits from the 8 fixed centroids (cosine to centroid i
+    minus the row's mean affinity — MAX(CASE) pivot so the aggregation is
+    order-independent, then a left-assoc chained sum for the mean, exactly
+    the fold order the Spark side uses), per-query mask scores
+    Σ margin_i² over set bits (round-6, mask-ascending ties), top-`budget`
+    probes, candidate fetch + round-6 cosine rank."""
+    aff_cols = ",\n                     ".join(
+        f"MAX(CASE WHEN dc.cid = {i} THEN list_dot_product(n.v, dc.cv)"
+        f" / (n.nrm * dc.cnrm) END) AS a{i}"
+        for i in range(n_bits)
+    )
+    mu = "(" + " + ".join(f"a{i}" for i in range(n_bits)) + f") / {float(n_bits)!r}"
+    bucket = " + ".join(
+        f"(CASE WHEN a{i} - mu >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    margins = ", ".join(f"a{i} - mu AS m{i}" for i in range(n_bits))
+    score = "\n                       + ".join(
+        f"(CASE WHEN (m.mask & {1 << i}) <> 0 THEN q.m{i} * q.m{i} ELSE 0.0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+            dc AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+                   FROM n WHERE vec_id < {n_bits}),
+            daff AS (
+              SELECT n.vec_id,
+                     {aff_cols}
+              FROM n CROSS JOIN dc GROUP BY n.vec_id
+            ),
+            dmu AS (SELECT vec_id, {mu} AS mu, * EXCLUDE (vec_id) FROM daff),
+            dbk AS (SELECT vec_id,
+                           CAST({bucket} AS INT) AS bucket,
+                           {margins}
+                    FROM dmu),
+            dmask AS (SELECT CAST(range AS INT) AS mask FROM range(0, {1 << n_bits})),
+            dprob AS (
+              SELECT vec_id AS query_id, xor(bucket, mask) AS pb FROM (
+                SELECT q.vec_id, q.bucket, m.mask,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                         round({score}, 6) ASC, m.mask ASC) AS pr
+                FROM dbk q CROSS JOIN dmask m WHERE q.vec_id < 8
+              ) WHERE pr <= {budget}
+            ),
+            dscored AS (
+              SELECT p.query_id, b.vec_id AS neighbor_id,
+                     round(list_dot_product(qv.v, t.v) / (qv.nrm * t.nrm), 6) AS cos
+              FROM dprob p
+              JOIN dbk b ON b.bucket = p.pb
+              JOIN n t ON t.vec_id = b.vec_id
+              JOIN n qv ON qv.vec_id = p.query_id
+              WHERE b.vec_id <> p.query_id
+            ),
+            ddir AS (
+              SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM dscored
+              ) WHERE rnk <= 5
+            )"""
+
 
 def _scrub_sql_expr(col: str) -> str:
     from dataqualitycontroltool_spark.graft.scrub import scrub_sql
@@ -2906,6 +3003,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
             FROM r WHERE rnk <= 5
         """,
+        "ann_topk_directed": f"""
+            -- query-directed multi-probe (Lv et al.) over affinity-centered
+            -- bits: 37 probes ranked by Σ margin² of flipped bits
+            WITH {_EMB_CTE},
+            {_directed_cte_sql()}
+            SELECT query_id, neighbor_id, cos, rank FROM ddir
+        """,
         "ann_recall": f"""
             -- recall@5 of the bucketed and IVF(nprobe=2) paths vs brute
             -- force: the three chains above composed, then two 1-row
@@ -2995,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM iscored
               ) WHERE rnk <= 5
             ),
+            {_directed_cte_sql()},
             tot AS (SELECT count(*) AS n_exact FROM exact)
             SELECT 'bucketed' AS method,
                    CAST((SELECT count(*) FROM buck
@@ -3020,6 +3125,15 @@ def oracle_sql() -> dict[str, str]:
                          JOIN exact USING (query_id, neighbor_id)) AS BIGINT),
                    CAST(n_exact AS BIGINT),
                    round((SELECT count(*) FROM ivf
+                          JOIN exact USING (query_id, neighbor_id))
+                         * 1.0 / n_exact, 6)
+            FROM tot
+            UNION ALL
+            SELECT 'directed_mp37',
+                   CAST((SELECT count(*) FROM (SELECT query_id, neighbor_id FROM ddir) d
+                         JOIN exact USING (query_id, neighbor_id)) AS BIGINT),
+                   CAST(n_exact AS BIGINT),
+                   round((SELECT count(*) FROM (SELECT query_id, neighbor_id FROM ddir) d
                           JOIN exact USING (query_id, neighbor_id))
                          * 1.0 / n_exact, 6)
             FROM tot

@@ -585,12 +585,36 @@ def test_ann_recall_contract(spark):
     from __spark_entry__ import q_ann_recall
 
     rows = {r.method: r for r in q_ann_recall(spark, "/root/testdata/sf0.01").collect()}
-    assert set(rows) == {"bucketed", "bucketed_mp2", "ivf_nprobe2"}
+    assert set(rows) == {"bucketed", "bucketed_mp2", "ivf_nprobe2", "directed_mp37"}
     assert all(r.n_exact == 40 for r in rows.values())
     assert rows["ivf_nprobe2"].recall >= 0.9
     assert rows["bucketed_mp2"].recall >= 0.3
     # multi-probe can only widen the candidate set
     assert rows["bucketed_mp2"].recall >= rows["bucketed"].recall
+    # query-directed probing (Lv et al.) over affinity-centered bits at the
+    # SAME 37-probe budget as radius-2: measured 0.700 (r5 verdict #4 asked
+    # for >= 0.5 at <= the radius-2 probe count)
+    assert rows["directed_mp37"].recall >= 0.5
+    assert rows["directed_mp37"].recall > rows["bucketed_mp2"].recall
+
+
+def test_directed_probe_budget_monotone(spark):
+    """More probe budget can only widen the candidate set (the probe
+    sequence is a prefix ordering), and budget 2^n_bits degenerates to
+    scanning every bucket = exact brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from __spark_entry__ import _fixed_centroids_raw
+
+    craw = _fixed_centroids_raw(emb)
+    qids = list(range(4))
+    full = similarity.directed_topk(
+        emb, "vec_id", "embedding", qids, k=3, centroids_raw=craw,
+        probe_budget=256,
+    )
+    exact = similarity.brute_force_topk(emb, "vec_id", "embedding", qids, k=3)
+    assert sorted(tuple(r) for r in full.collect()) == sorted(
+        tuple(r) for r in exact.collect()
+    )
 
 
 def test_multiprobe_equals_hamming_predicate(spark):
