@@ -117,6 +117,30 @@ def cmd_infer(args) -> int:
                        csvname=os.path.basename(args.data),
                        cde_suggestions=suggestions)
         print(f"DC workbook -> {args.dc_xlsx}")
+    if args.suggest_mapping:
+        # the CDE-mapping wizard (mipcdemapper.py:120-165 suggest_corr):
+        # auto-generate correspondences — incl. nested-if nominal recodes —
+        # and save the MIPMap task XML (mipcdemapper.py:247-249)
+        if not args.cde_dict:
+            print("--suggest-mapping requires --cde-dict")
+            return 2
+        import os
+
+        from dataqualitycontroltool_spark.cde import CdeDict
+        from dataqualitycontroltool_spark.mapper import suggest_mapping
+
+        load = CdeDict.from_xlsx if args.cde_dict.endswith(".xlsx") else CdeDict.from_csv
+        table = os.path.splitext(os.path.basename(args.data))[0]
+        sugg = suggest_mapping(df, load(args.cde_dict),
+                               sample_rows=args.sample_rows,
+                               maxlevels=args.max_levels,
+                               source_table=table)
+        with open(args.suggest_mapping, "w") as fh:
+            fh.write(sugg.to_xml())
+        print(json.dumps({"mapped": sugg.corr_sources,
+                          "expressions": sugg.expressions(),
+                          "unmapped_cdes": sugg.cde_not_mapped}, indent=2))
+        print(f"mapping task XML -> {args.suggest_mapping}")
     return 0
 
 
@@ -231,6 +255,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="also export the inferred schema as a Data Catalogue workbook")
     i.add_argument("--cde-dict", default=None,
                    help="CDE dictionary (xlsx/csv) for conceptPath suggestions")
+    i.add_argument("--suggest-mapping", default=None, metavar="TASK_XML",
+                   help="run the CDE-mapping wizard and save a MIPMap task "
+                        "XML (requires --cde-dict)")
     i.set_defaults(fn=cmd_infer)
 
     f = sub.add_parser("filter", help="checkpoint-resumable image quality filter")

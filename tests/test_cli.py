@@ -45,6 +45,30 @@ def test_infer_cmd(spark, csv_path, tmp_path):
     assert fields["n"]["MIPType"] in ("integer", "nominal")
 
 
+def test_infer_suggest_mapping_cmd(spark, tmp_path, capsys):
+    # the wizard CLI path (mipcdemapper.py suggest_corr + save_mapping):
+    # nominal recode + task-XML emit, end to end from files on disk
+    src = tmp_path / "hospital.csv"
+    src.write_text("patient_id,gendre\n" + "".join(
+        f"{i},{'femme' if i % 2 else 'homme'}\n" for i in range(8)))
+    cdedict = tmp_path / "dict.csv"
+    cdedict.write_text(
+        "mip_code,mip_type,conceptPath,mip_values,variable_lookup,enum_lookup\n"
+        'gender_type,nominal,/demo/gender,"{""M"", male},{""F"", female}",'
+        '"gendre, sex","{""M"", m, male, homme},{""F"", f, female, femme}"\n')
+    out = tmp_path / "schema.json"
+    xml = tmp_path / "map.xml"
+    assert cli.main(["--cpus", "4", "infer", str(src), str(out),
+                     "--cde-dict", str(cdedict),
+                     "--suggest-mapping", str(xml)]) == 0
+    printed = capsys.readouterr().out
+    assert "gender_type" in printed and xml.exists()
+
+    from dataqualitycontroltool_spark.sources.mipmap import parse_mipmap_xml
+    parsed = parse_mipmap_xml(xml.read_text())
+    assert 'if(gendre == "femme", "F"' in parsed["mappings"]["gender_type"]
+
+
 def test_filter_cmd(spark, tmp_path, capsys):
     from dataqualitycontroltool_spark.graft.synth import write_images
 
