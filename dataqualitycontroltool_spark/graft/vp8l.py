@@ -21,10 +21,13 @@ stream any WebP decoder reads):
   multipliers) and COLOR_INDEXING (``palette=True``: <=256-color palette
   with up to 8-indices-per-byte pixel bundling — the decisive win on
   synthetic few-color images);
-* LZ77: greedy runs of the previous pixel (distance 1 — the dominant
-  redundancy in flat/synthetic regions) and of the pixel directly above
-  (distance = width, dist_code 1 — repeated rows, 8.6x on row-tiled
-  images); everything else is literals;
+* LZ77: vectorized fast paths for runs of the previous pixel (distance 1
+  — the dominant redundancy in flat/synthetic regions) and of the pixel
+  directly above (distance = width, dist_code 1 — repeated rows, 8.6x on
+  row-tiled images), plus a general hash-chain matcher for arbitrary
+  backward references across the spec's 2^20-pixel window (tiled /
+  textured content), emitting 2-D neighborhood distance codes when the
+  distance lands on the 120-entry map;
 * color cache: optional (``cache_bits``), mirroring the decoder's insert
   discipline exactly;
 * one prefix-code group (no meta-prefix image).
@@ -815,7 +818,14 @@ def _encode_image_body(
     LZ77 copies at distance = width (dist_code 1, the spec's (0, 1)
     offset) for pixels equal to the one directly above: the dominant
     redundancy of vertically-repetitive images (stripes, repeated rows,
-    predictor mode grids) that dist-1 runs cannot reach."""
+    predictor mode grids) that dist-1 runs cannot reach.
+
+    Beyond the two vectorized run fast paths, a hash-chain matcher finds
+    GENERAL backward references (any distance up to the spec's 2^20
+    window): two-pixel hash -> bounded candidate chain -> longest match,
+    greedy.  Distances that land on the spec's 120-entry 2-D neighborhood
+    map are emitted as their (shorter-to-code) map index, everything else
+    as ``distance + 120`` — the exact inverse of the decoder's mapping."""
     n = len(argb)
 
     # tokenize: literals, dist-1 runs (>= 3 px), dist-width UP-runs,
@@ -833,35 +843,77 @@ def _encode_image_body(
     argb = argb.tolist()
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
-    tokens: list[tuple] = []  # ("lit",argb) ("run",length) ("cache",idx)
+    tokens: list[tuple] = []  # ("lit",argb) ("ref",len,dcode) ("cache",idx)
     g_freq: dict[int, int] = {}
     r_freq: dict[int, int] = {}
     b_freq: dict[int, int] = {}
     a_freq: dict[int, int] = {}
     d_freq: dict[int, int] = {}
 
-    def emit_run(kind: str, dist_value: int, i: int, run: int) -> None:
-        """Tokenize one backward-reference run: 4096-capped length chunks
+    def emit_ref(dist_code: int, dist: int, i: int, run: int) -> None:
+        """Tokenize one backward reference: 4096-capped length chunks
         with their length/distance symbol frequencies, then mirror the
         decoder's per-copied-pixel cache inserts.  The decoder inserts
         EVERY copied pixel, but cache state is last-writer-per-key and the
         copied sequence repeats with the reference distance's period, so
         only the final min(run, dist) positions can determine it: one
-        value for a dist-1 run, at most one row for an up-run."""
+        value for a dist-1 run, at most one row for an up-run, the last
+        period of a general overlapping copy."""
         left = run
         while left:
             chunk = min(left, 4096)
-            tokens.append((kind, chunk))
+            tokens.append(("ref", chunk, dist_code))
             ls, _, _ = _lz77_encode(chunk)
             g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
-            ds, _, _ = _lz77_encode(dist_value)
+            ds, _, _ = _lz77_encode(dist_code)
             d_freq[ds] = d_freq.get(ds, 0) + 1
             left -= chunk
         if cache_bits:
-            dist = 1 if kind == "run" else width
             for j in range(max(i, i + run - dist), i + run):
                 pxr = argb[j]
                 cache[_cache_key(pxr, cache_bits)] = pxr
+
+    # general-reference machinery: spec window, 2-D neighborhood inverse
+    # map (lowest code wins where two (dx, dy) collapse to one distance at
+    # this width), bounded hash chains over 2-pixel keys
+    max_dist = (3 << 18) + (1 << 18) - 1           # largest encodable value
+    plane_to_code: dict[int, int] = {}
+    if width:
+        for code, (dx, dy) in enumerate(_DIST_MAP, start=1):
+            d = dy * width + dx
+            if d >= 1:
+                plane_to_code.setdefault(d, code)
+    chain: dict[tuple[int, int], list[int]] = {}
+    MAXC = 16          # candidates examined per position
+    MIN_GEN = 3        # minimum general-match length
+
+    def find_match(i: int) -> tuple[int, int] | None:
+        """Longest match (dist, length>=MIN_GEN) ending the greedy scan at
+        the best of the last MAXC chain candidates; None when literals win."""
+        if i + 1 >= n:
+            return None
+        cands = chain.get((argb[i], argb[i + 1]))
+        if not cands:
+            return None
+        best_len, best_dist = 0, 0
+        limit = min(n - i, 4096)
+        for cand in reversed(cands[-MAXC:]):
+            if i - cand > max_dist - 120:
+                break  # older candidates only get farther
+            ln = 2
+            while ln < limit and argb[cand + ln] == argb[i + ln]:
+                ln += 1
+            if ln > best_len:
+                best_len, best_dist = ln, i - cand
+                if ln == limit:
+                    break
+        if best_len < MIN_GEN:
+            return None
+        # a 3-pixel match only pays when its distance codes as a cheap
+        # 2-D neighbor; longer matches always beat 3-4 literal pixels
+        if best_len == MIN_GEN and best_dist not in plane_to_code:
+            return None
+        return best_dist, best_len
 
     i = 0
     while i < n:
@@ -870,7 +922,7 @@ def _encode_image_body(
             while i + run < n and same_as_prev[i + run]:
                 run += 1
             if run >= 3 or cache_bits == 0:
-                emit_run("run", 2, i, run)  # dist_code 2 -> (1, 0) -> 1
+                emit_ref(2, 1, i, run)  # dist_code 2 -> (1, 0) -> 1
                 i += run
                 continue
             # short runs fall through pixel-by-pixel (cache may cover them)
@@ -879,11 +931,24 @@ def _encode_image_body(
             while i + run < n and same_as_up[i + run]:
                 run += 1
             if run >= 3:
-                emit_run("upr", 1, i, run)  # dist_code 1 -> (0, 1) -> w
+                emit_ref(1, width, i, run)  # dist_code 1 -> (0, 1) -> w
                 i += run
                 continue
             # short up-runs fall through to the literal/cache path
+        m = find_match(i)
+        if m is not None:
+            dist, run = m
+            emit_ref(plane_to_code.get(dist, dist + 120), dist, i, run)
+            # index the matched region for later references (sparse for
+            # long matches: the loop must stay over tokens, not pixels)
+            stop = i + run - 1
+            for j in range(i, min(stop, i + 32)):
+                chain.setdefault((argb[j], argb[j + 1]), []).append(j)
+            i += run
+            continue
         px = argb[i]
+        if i + 1 < n:
+            chain.setdefault((px, argb[i + 1]), []).append(i)
         if cache_bits:
             k = _cache_key(px, cache_bits)
             if cache[k] == px:
@@ -930,11 +995,11 @@ def _encode_image_body(
             bw.write_code(*r_codes[rr])
             bw.write_code(*b_codes[bb])
             bw.write_code(*a_codes[aa])
-        elif kind in ("run", "upr"):
+        elif kind == "ref":
             ls, eb, ev = _lz77_encode(tok[1])
             bw.write_code(*g_codes[256 + ls])
             bw.write_bits(ev, eb)
-            ds, deb, dev = _lz77_encode(2 if kind == "run" else 1)
+            ds, deb, dev = _lz77_encode(tok[2])
             bw.write_code(*d_codes[ds])
             bw.write_bits(dev, deb)
         else:  # cache

@@ -609,3 +609,35 @@ def test_up_run_backward_references():
     # the tiled image must cost barely more than ONE row's coding
     assert len(vp8l.encode(tiled)) < 3 * len(vp8l.encode(row)), (
         len(vp8l.encode(tiled)), len(vp8l.encode(row)))
+
+
+def test_general_lz77_backward_references():
+    """General hash-chain LZ77 (any distance, not just 1/width): a tiled
+    texture must cost little more than ONE tile's literals, round-trip
+    exactly under every transform combination, and emit distance codes
+    the decoder's 2-D neighborhood map + plain-distance paths both read."""
+    rng = _rng(11)
+    tile = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    img = np.tile(tile, (8, 8, 1))  # 64x64 of an 8x8 texture
+    for kw in ({}, {"cache_bits": 6}, {"predictor_bits": 3},
+               {"subtract_green": False, "color_bits": 3},
+               {"predictor_bits": 0, "subtract_green": False}):
+        data = vp8l.encode(img, **kw)
+        assert np.array_equal(vp8l.decode(data), img), kw
+    # 9132 B pre-matcher (literals), 340 B with general references —
+    # within ~1.8x of the 192-byte unique-content entropy bound once the
+    # five prefix-code tables and per-row copy tokens are counted
+    size = len(vp8l.encode(img, predictor_bits=0, subtract_green=False))
+    assert size < 600, size
+    # a tile width sharing no factor with the image width (general
+    # distances that do NOT land on the neighborhood map: d + 120 codes)
+    tile57 = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    img57 = np.tile(tile57, (13, 10, 1))[:64, :64]
+    data = vp8l.encode(img57, predictor_bits=0, subtract_green=False)
+    assert np.array_equal(vp8l.decode(data), img57)
+    assert len(data) < 600, len(data)
+    # incompressible noise: the matcher must not inflate the stream
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = vp8l.encode(noise, predictor_bits=0, subtract_green=False)
+    assert np.array_equal(vp8l.decode(data), noise)
+    assert len(data) < 32 * 32 * 3 * 1.15, len(data)
