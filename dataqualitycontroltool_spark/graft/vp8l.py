@@ -51,6 +51,7 @@ rows of the image+caption table, as jpeg.py does for jpeg rows.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -807,7 +808,7 @@ def _pack_argb(a, r, g, b) -> np.ndarray:
 
 def _encode_image_body(
     bw: _BitWriter, argb: np.ndarray, cache_bits: int, level0: bool,
-    width: int | None = None,
+    width: int | None = None, meta_bits: int | None = None,
 ) -> None:
     """Write one spatially-coded image (spec §6.3): color-cache info,
     the meta-prefix bit (level-0 streams only), five prefix codes and the
@@ -825,7 +826,14 @@ def _encode_image_body(
     window): two-pixel hash -> bounded candidate chain -> longest match,
     greedy.  Distances that land on the spec's 120-entry 2-D neighborhood
     map are emitted as their (shorter-to-code) map index, everything else
-    as ``distance + 120`` — the exact inverse of the decoder's mapping."""
+    as ``distance + 120`` — the exact inverse of the decoder's mapping.
+
+    ``meta_bits`` (level-0 streams, 2..9) turns on META PREFIX GROUPS: the
+    raster is cut into 2^meta_bits-square blocks, each classified flat vs
+    textured (fraction of pixels equal to their left/up neighbor), and each
+    class gets its OWN five prefix codes, selected per token-start position
+    — the spec's entropy-image mechanism (§5.2.4), profitable whenever one
+    histogram would have to serve two very different regions."""
     n = len(argb)
 
     # tokenize: literals, dist-1 runs (>= 3 px), dist-width UP-runs,
@@ -833,41 +841,71 @@ def _encode_image_body(
     # diff; the per-token loop is then over tokens, not pixels, for
     # run-heavy images.  plain Python lists: per-element numpy scalar
     # indexing in the token loop costs ~3x list indexing
-    same_as_prev = np.concatenate(([False], argb[1:] == argb[:-1])).tolist()
+    same_np = np.concatenate(([False], argb[1:] == argb[:-1]))
+    same_as_prev = same_np.tolist()
     if width and width < n:
-        same_as_up = np.concatenate(
+        up_np = np.concatenate(
             (np.zeros(width, bool), argb[width:] == argb[:-width])
-        ).tolist()
+        )
+        same_as_up = up_np.tolist()
     else:
+        up_np = None
         same_as_up = None
+
+    # candidate meta-group grids (per BLOCK; a token uses its START pixel's
+    # block group).  Two deterministic 2-way classifiers — flat vs textured
+    # (neighbor-equality fraction) and dark vs bright (block mean green,
+    # midpoint split) — cover the two ways one shared histogram dilutes:
+    # run/length symbols vs literal symbols drawn from disjoint value
+    # ranges.  The WINNER is chosen after tokenization by estimated coded
+    # bits (Shannon cost + table overhead), single group included.
+    meta_candidates: list[tuple[np.ndarray, int, list[int]]] = []
+    if meta_bits and level0 and width and n % width == 0 and n > width:
+        bs = 1 << meta_bits
+        h_ = n // width
+        mh, mw = -(-h_ // bs), -(-width // bs)
+
+        def block_mean(field: np.ndarray, pad_val: float) -> np.ndarray:
+            padded = np.full((mh * bs, mw * bs), pad_val, np.float64)
+            padded[:h_, :width] = field.reshape(h_, width)
+            return padded.reshape(mh, bs, mw, bs).mean(axis=(1, 3))
+
+        flat = same_np if up_np is None else (same_np | up_np)
+        grids = [(block_mean(flat, 1.0) < 0.5).astype(np.uint32)]
+        gmean = block_mean(((argb >> 8) & 0xFF).astype(np.float64), 0.0)
+        grids.append(
+            (gmean > (gmean.min() + gmean.max()) / 2).astype(np.uint32)
+        )
+        for grid in grids:
+            if grid.min() != grid.max():
+                per_px = (
+                    np.repeat(np.repeat(grid, bs, 0), bs, 1)[:h_, :width]
+                    .ravel().tolist()
+                )
+                meta_candidates.append((grid, mw, per_px))
+
     argb = argb.tolist()
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
     tokens: list[tuple] = []  # ("lit",argb) ("ref",len,dcode) ("cache",idx)
-    g_freq: dict[int, int] = {}
-    r_freq: dict[int, int] = {}
-    b_freq: dict[int, int] = {}
-    a_freq: dict[int, int] = {}
-    d_freq: dict[int, int] = {}
+    tpos: list[int] = []      # start pixel index of each token
 
     def emit_ref(dist_code: int, dist: int, i: int, run: int) -> None:
-        """Tokenize one backward reference: 4096-capped length chunks
-        with their length/distance symbol frequencies, then mirror the
-        decoder's per-copied-pixel cache inserts.  The decoder inserts
-        EVERY copied pixel, but cache state is last-writer-per-key and the
-        copied sequence repeats with the reference distance's period, so
-        only the final min(run, dist) positions can determine it: one
-        value for a dist-1 run, at most one row for an up-run, the last
-        period of a general overlapping copy."""
-        left = run
+        """Tokenize one backward reference: 4096-capped length chunks,
+        then mirror the decoder's per-copied-pixel cache inserts.  The
+        decoder inserts EVERY copied pixel, but cache state is
+        last-writer-per-key and the copied sequence repeats with the
+        reference distance's period, so only the final min(run, dist)
+        positions can determine it: one value for a dist-1 run, at most
+        one row for an up-run, the last period of a general overlapping
+        copy."""
+        left, at = run, i
         while left:
             chunk = min(left, 4096)
             tokens.append(("ref", chunk, dist_code))
-            ls, _, _ = _lz77_encode(chunk)
-            g_freq[256 + ls] = g_freq.get(256 + ls, 0) + 1
-            ds, _, _ = _lz77_encode(dist_code)
-            d_freq[ds] = d_freq.get(ds, 0) + 1
+            tpos.append(at)
             left -= chunk
+            at += chunk
         if cache_bits:
             for j in range(max(i, i + run - dist), i + run):
                 pxr = argb[j]
@@ -953,21 +991,75 @@ def _encode_image_body(
             k = _cache_key(px, cache_bits)
             if cache[k] == px:
                 tokens.append(("cache", k))
-                sym = 256 + NUM_LENGTH + k
-                g_freq[sym] = g_freq.get(sym, 0) + 1
+                tpos.append(i)
                 i += 1
                 continue
             cache[k] = px
         tokens.append(("lit", px))
-        gg, rr = (px >> 8) & 0xFF, (px >> 16) & 0xFF
-        bb, aa = px & 0xFF, (px >> 24) & 0xFF
-        g_freq[gg] = g_freq.get(gg, 0) + 1
-        r_freq[rr] = r_freq.get(rr, 0) + 1
-        b_freq[bb] = b_freq.get(bb, 0) + 1
-        a_freq[aa] = a_freq.get(aa, 0) + 1
+        tpos.append(i)
         i += 1
-    if not g_freq:
-        g_freq[0] = 1  # h*w >= 1, so this never triggers; belt and braces
+
+    def count_freqs(group_of: list[int] | None, n_groups: int) -> list[dict]:
+        """Per-group symbol frequencies (one pass over tokens; group = the
+        token START's block class, exactly the decoder's selection rule)."""
+        freqs = [
+            {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}}
+            for _ in range(n_groups)
+        ]
+        for tok, p in zip(tokens, tpos):
+            f = freqs[group_of[p]] if group_of is not None else freqs[0]
+            kind = tok[0]
+            if kind == "lit":
+                px = tok[1]
+                fg = f["g"]
+                gg = (px >> 8) & 0xFF
+                fg[gg] = fg.get(gg, 0) + 1
+                for key, v in (
+                    ("r", (px >> 16) & 0xFF), ("b", px & 0xFF),
+                    ("a", (px >> 24) & 0xFF),
+                ):
+                    fk = f[key]
+                    fk[v] = fk.get(v, 0) + 1
+            elif kind == "ref":
+                ls, _, _ = _lz77_encode(tok[1])
+                fg = f["g"]
+                fg[256 + ls] = fg.get(256 + ls, 0) + 1
+                ds, _, _ = _lz77_encode(tok[2])
+                fd = f["d"]
+                fd[ds] = fd.get(ds, 0) + 1
+            else:  # cache
+                fg = f["g"]
+                sym = 256 + NUM_LENGTH + tok[1]
+                fg[sym] = fg.get(sym, 0) + 1
+        for f in freqs:
+            if not f["g"]:
+                f["g"][0] = 1  # a group no token starts in still needs codes
+        return freqs
+
+    def est_bits(freqs: list[dict]) -> float:
+        """Shannon cost of the token stream under per-group codes plus a
+        ~12-bits-per-distinct-symbol table-overhead estimate (code-length
+        coding) — enough fidelity to rank groupings."""
+        total = 0.0
+        for f in freqs:
+            for d in f.values():
+                tot = sum(d.values())
+                for c in d.values():
+                    total += c * math.log2(tot / c) if c < tot else 0.0
+                total += 12 * len(d)
+        return total
+
+    freqs = count_freqs(None, 1)
+    n_groups, group_of, meta_grid, meta_w = 1, None, None, 0
+    if meta_candidates:
+        best = est_bits(freqs)
+        for grid, mw_c, per_px in meta_candidates:
+            cand = count_freqs(per_px, 2)
+            cost = est_bits(cand) + 400  # entropy-image overhead
+            if cost < best:
+                best = cost
+                freqs, n_groups = cand, 2
+                group_of, meta_grid, meta_w = per_px, grid, mw_c
 
     if cache_bits:
         bw.write_bits(1, 1)
@@ -975,17 +1067,31 @@ def _encode_image_body(
     else:
         bw.write_bits(0, 1)
     if level0:
-        bw.write_bits(0, 1)  # no meta prefix codes
+        if n_groups > 1:
+            bw.write_bits(1, 1)
+            bw.write_bits(meta_bits - 2, 3)
+            # entropy image: meta code (r<<8)|g per block -> group index
+            _encode_image_body(
+                bw, (meta_grid << 8).ravel(), cache_bits=0, level0=False,
+                width=meta_w,
+            )
+        else:
+            bw.write_bits(0, 1)  # no meta prefix codes
 
-    g_codes = _write_prefix_code(
-        bw, g_freq, NUM_LITERAL + NUM_LENGTH + cache_size
-    )
-    r_codes = _write_prefix_code(bw, r_freq, NUM_LITERAL)
-    b_codes = _write_prefix_code(bw, b_freq, NUM_LITERAL)
-    a_codes = _write_prefix_code(bw, a_freq, NUM_LITERAL)
-    d_codes = _write_prefix_code(bw, d_freq, NUM_DISTANCE)
+    group_codes = []
+    for f in freqs:
+        group_codes.append((
+            _write_prefix_code(bw, f["g"], NUM_LITERAL + NUM_LENGTH + cache_size),
+            _write_prefix_code(bw, f["r"], NUM_LITERAL),
+            _write_prefix_code(bw, f["b"], NUM_LITERAL),
+            _write_prefix_code(bw, f["a"], NUM_LITERAL),
+            _write_prefix_code(bw, f["d"], NUM_DISTANCE),
+        ))
+    g_codes, r_codes, b_codes, a_codes, d_codes = group_codes[0]
 
-    for tok in tokens:
+    for tok, p in zip(tokens, tpos):
+        if group_of is not None:
+            g_codes, r_codes, b_codes, a_codes, d_codes = group_codes[group_of[p]]
         kind = tok[0]
         if kind == "lit":
             px = tok[1]
@@ -1055,6 +1161,7 @@ def encode(
     predictor_bits: int = 0,
     palette: bool = False,
     color_bits: int = 0,
+    meta_bits: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 array as a real lossless WebP file.
 
@@ -1081,7 +1188,15 @@ def encode(
     on a slope-0.5/0.25 corpus).  It composes with ``subtract_green`` and
     ``predictor_bits`` bit-stream-wise, but usually REPLACES subtract-green
     (fitting the already-subtracted residual wraps through the int8
-    reinterpretation and degrades the fit — pass subtract_green=False)."""
+    reinterpretation and degrades the fit — pass subtract_green=False).
+
+    ``meta_bits`` (0 = off, else 2..9) enables META PREFIX GROUPS on the
+    main image: 2^bits-square blocks are classified flat vs textured and
+    each class gets its own five prefix codes via the spec's entropy-image
+    mechanism — the win is images mixing regions with very different
+    statistics (a flat canvas with a noisy inset), where one shared
+    histogram dilutes both.  Composes with every transform; a raster whose
+    blocks all classify alike falls back to a single group (meta bit 0)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError("encode expects (h, w, 3) uint8")
     h, w, _ = rgb.shape
@@ -1096,6 +1211,8 @@ def encode(
         raise ValueError(f"predictor_bits must be 0 or 2..9, got {predictor_bits}")
     if color_bits and not 2 <= color_bits <= 9:
         raise ValueError(f"color_bits must be 0 or 2..9, got {color_bits}")
+    if meta_bits and not 2 <= meta_bits <= 9:
+        raise ValueError(f"meta_bits must be 0 or 2..9, got {meta_bits}")
     if palette and (predictor_bits or color_bits):
         raise ValueError(
             "palette does not combine with the predictor/color transforms"
@@ -1147,7 +1264,8 @@ def encode(
 
     # len(body) // h is the body's actual row length: w normally, the
     # bundle-reduced width under COLOR_INDEXING
-    _encode_image_body(bw, body, cache_bits, level0=True, width=len(body) // h)
+    _encode_image_body(bw, body, cache_bits, level0=True,
+                       width=len(body) // h, meta_bits=meta_bits or None)
     payload = b"\x2f" + bw.bytes()
 
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

@@ -641,3 +641,30 @@ def test_general_lz77_backward_references():
     data = vp8l.encode(noise, predictor_bits=0, subtract_green=False)
     assert np.array_equal(vp8l.decode(data), noise)
     assert len(data) < 32 * 32 * 3 * 1.15, len(data)
+
+
+def test_meta_prefix_groups_on_encode():
+    """Encoder-side meta prefix groups (spec entropy-image mechanism): on
+    an image whose halves draw literals from disjoint value ranges, two
+    per-class prefix-code groups must beat the single shared histogram;
+    where splitting does not pay, the stream must be byte-identical to the
+    single-group encoding (cost-driven fallback, never inflates)."""
+    rng = _rng(13)
+    img = np.empty((64, 64, 3), np.uint8)
+    img[:32] = rng.integers(0, 32, (32, 64, 3))
+    img[32:] = rng.integers(224, 256, (32, 64, 3))
+    b0 = vp8l.encode(img, meta_bits=0, predictor_bits=0, subtract_green=False)
+    bm = vp8l.encode(img, meta_bits=4, predictor_bits=0, subtract_green=False)
+    assert np.array_equal(vp8l.decode(bm), img)
+    assert len(bm) < 0.9 * len(b0), (len(bm), len(b0))
+    # composes with the default transform stack
+    for kw in ({}, {"cache_bits": 6}, {"predictor_bits": 3}):
+        data = vp8l.encode(img, meta_bits=4, **kw)
+        assert np.array_equal(vp8l.decode(data), img), kw
+    # no-gain inputs: exact fallback to the single-group stream
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert vp8l.encode(noise, meta_bits=4) == vp8l.encode(noise, meta_bits=0)
+    flat = np.full((32, 32, 3), 9, np.uint8)
+    assert vp8l.encode(flat, meta_bits=4) == vp8l.encode(flat, meta_bits=0)
+    with pytest.raises(ValueError):
+        vp8l.encode(flat, meta_bits=1)
