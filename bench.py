@@ -100,9 +100,20 @@ def _persist_full_artifact(line: str) -> None:
 def _dicom_scale(spark, n_files: int = 10_000) -> dict:
     """The full DICOM report plan (decode → consensus → 5 report tables)
     at a 10k-file synthetic tree — verifies the melt/consensus plan and the
-    files-per-task partition sizing hold beyond the 146-file fixture."""
+    files-per-task partition sizing hold beyond the 146-file fixture.
+
+    Warm-up pass (25% of files, untimed) first — the r4 verdict's 671-1,259
+    files/s cross-round variance was isolated (r5, PLANS.md) to the COLD
+    first run: the tree is generated executor-side in memory (no disk I/O,
+    so page cache is irrelevant); the spread was the ~8s pandas-UDF
+    worker-fleet spawn + codegen cost, whose share of an 11s cold run moves
+    with box load.  Warm runs sit at 3.7-4.0s.  Same discipline as
+    _timed_graft."""
     from dataqualitycontroltool_spark.sources import dicom as dcm
 
+    warm = dcm.synth_dicom_frame(spark, n_files // 4, invalid_every=997)
+    for v in dcm.dicom_report_tables(dcm.decode_headers(warm).localCheckpoint()).values():
+        v.count()
     files = dcm.synth_dicom_frame(spark, n_files, invalid_every=997)
     t0 = time.perf_counter()
     headers = dcm.decode_headers(files).localCheckpoint()
