@@ -590,6 +590,39 @@ def banded_hamming_pairs(
 # connected components — transitive duplicate-cluster resolution
 # --------------------------------------------------------------------------
 
+# reliable-spill cadence for iterative loops: carried checkpoint stats grow
+# ~3× in bit-length per round (see connected_components docstring), so a
+# reset every 6 rounds bounds them at 3^6 ≈ 729 × the parquet file-size bits.
+_STATS_RESET_EVERY = 6
+
+
+def _reliable_reset(df: DataFrame, spill_root: str, rnd: int) -> DataFrame:
+    """Round-trip a (small) iteration frame through parquet: truncates both
+    lineage AND the carried Catalyst stats (a plain localCheckpoint keeps
+    the latter), and survives executor loss — the periodic reliable
+    checkpoint every iterative distributed graph algorithm needs."""
+    path = f"{spill_root}/round_{rnd}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _spill_root(pairs: DataFrame) -> tuple[str, bool]:
+    """(directory for reliable spills, created_locally).  Honors the
+    session checkpoint dir when the deployment set one (shared storage on
+    a real cluster); falls back to a local tempdir on local mode."""
+    import tempfile
+
+    sc = pairs.sparkSession.sparkContext
+    base = None
+    try:
+        opt = sc._jsc.sc().getCheckpointDir()
+        base = opt.get() if opt.isDefined() else None
+    except Exception:
+        base = None
+    if base:
+        return f"{base.rstrip('/')}/dqc_cc_spill", False
+    return tempfile.mkdtemp(prefix="dqc_cc_spill_"), True
+
 
 def connected_components(
     pairs: DataFrame, max_iter: int = 25, a: str = "id_a", b: str = "id_b"
@@ -609,7 +642,23 @@ def connected_components(
     SURVEY §2.8's 'genuinely non-SQL-expressible' class).
 
     Raises if not converged within ``max_iter`` (with jumping that needs a
-    diameter over ~2^25 — effectively impossible)."""
+    diameter over ~2^25 — effectively impossible).
+
+    Stats truncation (r5): ``localCheckpoint`` cuts the LINEAGE but carries
+    the origin plan's Catalyst statistics into the new ``LogicalRDD`` leaf
+    (``LogicalRDD.fromDataset`` → ``rewriteStatsAndConstraints``).  Each
+    round's plan multiplies leaf ``sizeInBytes`` at every join
+    (``SizeInBytesOnlyStatsPlanVisitor.visitJoin``), so the carried BigInt
+    TRIPLES its bit-length per round — by round ~17 a single driver-side
+    stats product runs for minutes on one core, and by ~20 it exceeds
+    BigInteger's 2^31-bit ceiling (measured: a 32k-image hamming graph with
+    ~20-round chains pinned the driver for 19 min inside
+    ``BigInteger.multiplyToomCook3``).  Every ``_STATS_RESET_EVERY`` rounds
+    the labels frame therefore takes a RELIABLE round-trip through parquet
+    (honoring ``sc.setCheckpointDir`` when set — at cluster scale that is
+    also the fault-tolerance story: localCheckpoint dies with an executor),
+    which resets the carried stats to the file size.  Worst-case carried
+    magnitude is then 3^k·file_bits — microseconds, forever."""
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint()
@@ -658,51 +707,71 @@ def connected_components(
         labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if integral_ids else None
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-        )
-        # pointer jumping: comp := comp(comp).  The jump table is the
-        # PREVIOUS round's labels — already materialized by last round's
-        # localCheckpoint — not this round's `propagated`: a self-join on
-        # `propagated` would compute the neighbor-min shuffle TWICE per
-        # round (ReuseExchange does not fire across these branches —
-        # measured on the banded self-join, PLANS.md), doubling the
-        # dominant per-iteration cost at any scale.  Jumping through the
-        # one-round-stale table is still monotone (labels[c] <= c for every
-        # node id c) and still O(log diameter); the fixpoint is unchanged
-        # because plain min-propagation alone already converges to the
-        # component minimum — jumping only accelerates it.
-        new_labels = (
-            propagated.alias("x")
-            .join(
-                labels.select(
-                    F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
-                ).alias("y"),
-                F.col("x.comp") == F.col("y._pid"),
-                "left",
+    spill_root, spill_is_local = None, False
+    try:
+        for rnd in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("comp").alias("ncomp"))
             )
-            .select(
-                F.col("x.id").alias("id"),
+            propagated = labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
+            ).select(
+                "id",
                 F.least(
-                    F.col("x.comp"), F.coalesce("_pcomp", F.col("x.comp"))
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            # pointer jumping: comp := comp(comp).  The jump table is the
+            # PREVIOUS round's labels — already materialized by last round's
+            # localCheckpoint — not this round's `propagated`: a self-join on
+            # `propagated` would compute the neighbor-min shuffle TWICE per
+            # round (ReuseExchange does not fire across these branches —
+            # measured on the banded self-join, PLANS.md), doubling the
+            # dominant per-iteration cost at any scale.  Jumping through the
+            # one-round-stale table is still monotone (labels[c] <= c for
+            # every node id c) and still O(log diameter); the fixpoint is
+            # unchanged because plain min-propagation alone already converges
+            # to the component minimum — jumping only accelerates it.
+            new_labels = (
+                propagated.alias("x")
+                .join(
+                    labels.select(
+                        F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+                    ).alias("y"),
+                    F.col("x.comp") == F.col("y._pid"),
+                    "left",
+                )
+                .select(
+                    F.col("x.id").alias("id"),
+                    F.least(
+                        F.col("x.comp"), F.coalesce("_pcomp", F.col("x.comp"))
+                    ).alias("comp"),
+                )
+            )
+            if (rnd + 1) % _STATS_RESET_EVERY == 0:
+                # truncate the carried (and exponentially compounding)
+                # checkpoint stats — see the docstring's stats-truncation
+                # note.  The trailing localCheckpoint re-materializes the
+                # re-read frame in the block manager, so local spill files
+                # are disposable the moment the round completes.
+                if spill_root is None:
+                    spill_root, spill_is_local = _spill_root(pairs)
+                new_labels = _reliable_reset(new_labels, spill_root, rnd)
+            new_labels = new_labels.localCheckpoint()
+            done, prev_sum = unchanged(new_labels, labels, prev_sum)
+            labels = new_labels
+            if done:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        done, prev_sum = unchanged(new_labels, labels, prev_sum)
-        labels = new_labels
-        if done:
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        if spill_root and spill_is_local:
+            import shutil
+
+            shutil.rmtree(spill_root, ignore_errors=True)
 
 
 def duplicate_clusters(
