@@ -213,6 +213,21 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.comp for r in comps.collect()} == {0}
 
 
+def test_connected_components_path_graph_crosses_stats_reset(spark):
+    """r5 regression: localCheckpoint CARRIES Catalyst plan stats into the
+    new LogicalRDD leaf, and each round's joins MULTIPLY them — the carried
+    BigInt tripled its bit-length per round until a 32k-image hamming graph
+    pinned the driver for 19 min inside BigInteger.multiplyToomCook3 and
+    then overflowed BigInteger's 2^31-bit ceiling (dedup.py stats-truncation
+    note).  A 4000-node path graph is the worst-case diameter: ~18
+    pointer-jumping rounds, crossing the periodic reliable-spill reset 3×.
+    Without the reset this test burns CPU for hours; with it, seconds."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(3999)],
+                                  "id_a long, id_b long")
+    out = dedup.connected_components(pairs).groupBy("comp").count().collect()
+    assert len(out) == 1 and out[0].comp == 0 and out[0]["count"] == 4000
+
+
 def test_blocked_cosine_rejects_string_ids(spark):
     """String ids would silently cast to NULL blocks — must raise instead."""
     df = spark.createDataFrame([("a", [1.0, 0.0])], "img string, v array<double>")
