@@ -625,7 +625,8 @@ def _spill_root(pairs: DataFrame) -> tuple[str, bool]:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25, a: str = "id_a", b: str = "id_b"
+    pairs: DataFrame, max_iter: int = 25, a: str = "id_a", b: str = "id_b",
+    jumps: int = 3,
 ) -> DataFrame:
     """(id, component) for every node in the pair graph; component = the
     MINIMUM id reachable from the node (the canonical survivor).
@@ -723,33 +724,47 @@ def connected_components(
                     F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
             )
-            # pointer jumping: comp := comp(comp).  The jump table is the
-            # PREVIOUS round's labels — already materialized by last round's
-            # localCheckpoint — not this round's `propagated`: a self-join on
-            # `propagated` would compute the neighbor-min shuffle TWICE per
-            # round (ReuseExchange does not fire across these branches —
-            # measured on the banded self-join, PLANS.md), doubling the
-            # dominant per-iteration cost at any scale.  Jumping through the
-            # one-round-stale table is still monotone (labels[c] <= c for
-            # every node id c) and still O(log diameter); the fixpoint is
-            # unchanged because plain min-propagation alone already converges
-            # to the component minimum — jumping only accelerates it.
-            new_labels = (
-                propagated.alias("x")
-                .join(
-                    labels.select(
-                        F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
-                    ).alias("y"),
-                    F.col("x.comp") == F.col("y._pid"),
-                    "left",
+            # pointer jumping: comp := comp(comp), applied `jumps` times per
+            # round.  The jump table is the PREVIOUS round's labels — already
+            # materialized by last round's localCheckpoint — not this round's
+            # `propagated`: a self-join on `propagated` would compute the
+            # neighbor-min shuffle TWICE per round (ReuseExchange does not
+            # fire across these branches — measured on the banded self-join,
+            # PLANS.md), doubling the dominant per-iteration cost at any
+            # scale.  Jumping through the one-round-stale table is still
+            # monotone (labels[c] <= c for every node id c) and still
+            # O(log diameter); the fixpoint is unchanged because plain
+            # min-propagation alone already converges to the component
+            # minimum — jumping only accelerates it.
+            #
+            # Why MULTIPLE jumps per round (r5): the per-round cost is
+            # dominated by the edges-sized neighbor-min join + the fixed
+            # Spark job floor, while each jump is a join between two
+            # LABELS-sized frames whose jump side is a materialized
+            # checkpoint leaf (re-scanned from the block manager, never
+            # recomputed).  Chaining j jumps contracts path length
+            # geometrically per round, so round count drops ~log-fold for
+            # near-free: measured on a 4000-node path graph (worst-case
+            # diameter), jumps 1/2/3/4 → 6.3/4.9/4.3/4.3 s — default 3,
+            # where the gain saturates.
+            new_labels = propagated
+            for j in range(jumps):
+                new_labels = (
+                    new_labels.alias("x")
+                    .join(
+                        labels.select(
+                            F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+                        ).alias(f"y{j}"),
+                        F.col("x.comp") == F.col(f"y{j}._pid"),
+                        "left",
+                    )
+                    .select(
+                        F.col("x.id").alias("id"),
+                        F.least(
+                            F.col("x.comp"), F.coalesce("_pcomp", F.col("x.comp"))
+                        ).alias("comp"),
+                    )
                 )
-                .select(
-                    F.col("x.id").alias("id"),
-                    F.least(
-                        F.col("x.comp"), F.coalesce("_pcomp", F.col("x.comp"))
-                    ).alias("comp"),
-                )
-            )
             if (rnd + 1) % _STATS_RESET_EVERY == 0:
                 # truncate the carried (and exponentially compounding)
                 # checkpoint stats — see the docstring's stats-truncation
