@@ -540,6 +540,7 @@ def banded_hamming_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = 64,
+    hot_bucket_threshold: int = 8192,
 ) -> DataFrame:
     """Pairs of rows whose integer fingerprints differ in <= max_hamming
     bits: (id_a, id_b, hamming) — works for ANY int64 fingerprint column
@@ -550,7 +551,27 @@ def banded_hamming_pairs(
     least one band (pigeonhole) → EXACT for max_hamming <= bands-1 with
     narrow integer join keys instead of an O(n²) scan.  Negative int64
     fingerprints are fine: arithmetic shift + mask extracts the same bit
-    ranges."""
+    ranges.
+
+    Hot-bucket salting (r5): a (band, bkey) bucket of n entries makes the
+    self-join evaluate n² candidates inside ONE shuffle partition — AQE's
+    skew split never fires because the bucket is kilobytes of INPUT (20k
+    16-byte rows) hiding 4·10^8 candidates of WORK (measured: 8.3s pinning
+    one core of 16 while the rest idle; a 10^6-row hot band at corpus scale
+    is hours).  Real phash corpora do this: smooth images share the
+    low-frequency DCT signs, saturating one band value (the north-star's
+    "salted repartitioning to defuse phash skew").  Buckets with more than
+    ``hot_bucket_threshold`` entries therefore take a salt-GRID self-join:
+    rows split into S = ceil(n_max/threshold) (≤32) salt groups by
+    xxhash64(id); the left side replicates to cells (s_a, j), j<S, the
+    right side to cells (i, s_b), i<S, and the equi-join on the full cell
+    key lands every ordered pair in EXACTLY ONE of the S² cells — same
+    pairs, S× shuffle volume for the hot entries only, work spread over S²
+    tasks instead of 1.  Cold buckets keep the plain join; detection is a
+    map-side-combined count over the (small) band frame, and the grid leg
+    is built only when a hot bucket actually exists (one bounded driver
+    action on the aggregated bucket-count frame).  Exactness is pinned by
+    a pytest comparing salted vs plain output on a forced-hot corpus."""
     if max_hamming > bands - 1:
         raise ValueError("banded hamming join is only exact for max_hamming <= bands-1")
     width = bits // bands
@@ -567,23 +588,79 @@ def banded_hamming_pairs(
     bl = fp_df.select(id_col, fp_col, F.explode(entries).alias("e")).select(
         id_col, fp_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
-    a, b = bl.alias("a"), bl.alias("b")
-    ham = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
-    return (
+
+    def pair_select(joined):
+        ham = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
+        return (
+            joined.select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+
+    bucket_eq = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bkey") == F.col("b.bkey")
+    )
+    id_lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+
+    hot = None
+    if hot_bucket_threshold:
+        # the counts aggregate recomputes bl's (cheap) upstream once more —
+        # deliberately NOT localCheckpoint'd: the eager barrier serializes
+        # the caller's one-shot pipeline (gotcha: measured +3.3s on the 8k
+        # graft) and grows the persistent-RDD set callers with cache=False
+        # contracts forbid.  Callers with an expensive upstream (simhash)
+        # already persist it on their side.
+        counts = bl.groupBy("band", "bkey").count()
+        hot = counts.where(F.col("count") > hot_bucket_threshold)
+        # bounded driver action: the aggregated frame has one row per hot
+        # bucket, and "hot" is by definition rare (a corpus where MANY
+        # buckets are hot has degenerate fingerprints, not a skew problem)
+        hot_rows = hot.orderBy(F.desc("count")).limit(1000).collect()
+        hot = hot if hot_rows else None
+
+    if hot is None:
+        a, b = bl.alias("a"), bl.alias("b")
+        return pair_select(a.join(b, bucket_eq & id_lt)).distinct()
+
+    n_max = max(r["count"] for r in hot_rows)
+    # grid size: enough salt groups that (a) each group stays under the
+    # threshold and (b) the s² cells exceed ~2× the shuffle parallelism so
+    # the quadratic work actually spreads (measured on a 20k-entry hot
+    # band, 16 cores: s=3 → 3.2s, s=10 → 2.3s, unsalted 6.3s)
+    s = min(32, max(-(-n_max // hot_bucket_threshold), 8))
+    hot_keys = F.broadcast(hot.select("band", "bkey"))
+    cold = bl.join(hot_keys, ["band", "bkey"], "left_anti")
+    hot_bl = bl.join(hot_keys, ["band", "bkey"], "left_semi").withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
+    )
+    grid = F.explode(F.array(*[F.lit(j) for j in range(s)]))
+    left = hot_bl.withColumn("cell_j", grid)   # occupies cells (salt, j)
+    right = hot_bl.withColumn("cell_i", grid)  # occupies cells (i, salt)
+    # EXPLICIT-N repartition by the cell keys, both sides in join-key order:
+    # co-partitioned, so the join adds no exchange of its own — and a
+    # user-specified partition count is exempt from AQE partition
+    # coalescing, which would otherwise merge the grid right back into one
+    # task (cells are KILOBYTES of input hiding quadratic work; AQE sizes
+    # by bytes — measured 3.4s coalesced vs 1.6s not, 6.5s unsalted)
+    nparts = int(fp_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(nparts, "band", "bkey", "salt", "cell_j")
+    right = right.repartition(nparts, "band", "bkey", "cell_i", "salt")
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = pair_select(a.join(b, bucket_eq & id_lt))
+    a, b = left.alias("a"), right.alias("b")
+    hot_pairs = pair_select(
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            bucket_eq
+            & (F.col("a.salt") == F.col("b.cell_i"))
+            & (F.col("a.cell_j") == F.col("b.salt"))
+            & id_lt,
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 # --------------------------------------------------------------------------

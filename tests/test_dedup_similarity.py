@@ -213,6 +213,41 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.comp for r in comps.collect()} == {0}
 
 
+def test_banded_hamming_hot_bucket_salting_exact(spark):
+    """r5: a (band, bkey) bucket over hot_bucket_threshold entries takes a
+    salt-grid self-join (every ordered pair lands in exactly ONE of the s²
+    cells) so the quadratic candidate work spreads across tasks instead of
+    serializing into the hot key's single shuffle partition.  The grid must
+    be EXACT: same pair set as the plain join, no duplicates, no misses —
+    pinned here on a corpus whose band 0 is constant (every row in one
+    bucket, the phash-skew smell the north star names) with genuine 1-bit
+    near-duplicates scattered through the other bands."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = (rng.integers(0, 2**40, 300, dtype=np.int64) << 16) | 0x1234
+    fps = []
+    for f in base:
+        fps.append(int(f))
+        if rng.random() < 0.5:
+            fps.append(int(f ^ (1 << int(rng.integers(16, 60)))))
+    df = spark.createDataFrame(list(enumerate(fps)), "id bigint, fp bigint")
+    plain = sorted(
+        tuple(r)
+        for r in dedup.banded_hamming_pairs(
+            df, "id", "fp", 3, hot_bucket_threshold=0
+        ).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in dedup.banded_hamming_pairs(
+            df, "id", "fp", 3, hot_bucket_threshold=64
+        ).collect()
+    )
+    assert plain == salted and len(plain) > 50
+    assert len(set(plain)) == len(plain)
+
+
 def test_connected_components_path_graph_crosses_stats_reset(spark):
     """r5 regression: localCheckpoint CARRIES Catalyst plan stats into the
     new LogicalRDD leaf, and each round's joins MULTIPLY them — the carried
