@@ -689,13 +689,7 @@ def _spill_root(pairs: DataFrame) -> tuple[str, bool]:
     a real cluster); falls back to a local tempdir on local mode."""
     import tempfile
 
-    sc = pairs.sparkSession.sparkContext
-    base = None
-    try:
-        opt = sc._jsc.sc().getCheckpointDir()
-        base = opt.get() if opt.isDefined() else None
-    except Exception:
-        base = None
+    base = pairs.sparkSession.sparkContext.getCheckpointDir()
     if base:
         return f"{base.rstrip('/')}/dqc_cc_spill", False
     return tempfile.mkdtemp(prefix="dqc_cc_spill_"), True
