@@ -173,6 +173,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     k: int = 3,
+    hot_bucket_threshold: int = 8192,
+    detect_sample: float = 0.05,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard: (id_a, id_b, jaccard) with jaccard >= threshold.
@@ -185,9 +187,14 @@ def minhash_lsh_pairs(
     broadcast join at runtime when the set is actually small).  With H=12, b=4, r=3 the
     collision probability at j=0.8 is 1-(1-0.8^3)^4 ≈ 0.93 per pair and the
     final Jaccard filter removes false positives, so precision is exact and
-    recall is the LSH guarantee.  All join keys are md5 strings → uniform →
-    no skew; a pathological band (e.g. every doc sharing one popular band
-    key) is impossible because the key includes all r minima."""
+    recall is the LSH guarantee.  Band keys are md5 strings → uniform
+    ACROSS distinct shingle sets — but docs SHARING a shingle set (or a
+    large templated near-dup cluster agreeing on all r minima) collapse
+    onto one band key, and that bucket's O(n²) candidate enumeration would
+    serialize into a single shuffle partition (kilobytes of input hiding
+    quadratic work — AQE's byte-sized skew split never fires).  Buckets
+    over ``hot_bucket_threshold`` entries therefore take the same exact
+    salt-grid self-join as the hamming index (`_skew_safe_self_pairs`)."""
     rows_per_band = num_hashes // bands
     # The signature subplan is referenced by both sides of the band self-join
     # (and the shingle table again by the verifier), so Catalyst recomputes
@@ -199,17 +206,16 @@ def minhash_lsh_pairs(
     # independent of document length) and band/verify against it.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
     bl = lsh_bands(sig, id_col, bands, rows_per_band)
-    a, b = bl.alias("a"), bl.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    cand = _skew_safe_self_pairs(
+        bl,
+        ("band", "band_key"),
+        id_col,
+        lambda joined: joined.select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        ),
+        hot_bucket_threshold=hot_bucket_threshold,
+        detect_sample=detect_sample,
+    ).distinct()
     sh = shingle_table(df, id_col, text_col, k)
     return _verified_jaccard(sh, id_col, cand, threshold)
 
@@ -600,30 +606,70 @@ def banded_hamming_pairs(
             .where(F.col("hamming") <= max_hamming)
         )
 
-    bucket_eq = (F.col("a.band") == F.col("b.band")) & (
-        F.col("a.bkey") == F.col("b.bkey")
-    )
+    return _skew_safe_self_pairs(
+        bl, ("band", "bkey"), id_col, pair_select, hot_bucket_threshold
+    ).distinct()
+
+
+def _skew_safe_self_pairs(
+    bl: DataFrame,
+    key_cols: tuple,
+    id_col: str,
+    pair_select,
+    hot_bucket_threshold: int,
+    detect_sample: float = 1.0,
+) -> DataFrame:
+    """Self-join ``bl`` on equal ``key_cols`` with ``a.id < b.id``, routing
+    buckets over ``hot_bucket_threshold`` entries through an EXACT salt-grid
+    (see banded_hamming_pairs) so their quadratic candidate work spreads
+    over s² tasks instead of serializing into the hot key's single shuffle
+    partition.  ``pair_select`` maps the aliased (a, b) join to the output
+    columns.  Shared by the hamming AND MinHash-LSH band joins — any
+    banded self-join has this failure mode (kilobytes of input hiding
+    quadratic work, invisible to AQE's byte-sized skew split)."""
+    key_cols = list(key_cols)
+    bucket_eq = None
+    for c in key_cols:
+        eq = F.col(f"a.{c}") == F.col(f"b.{c}")
+        bucket_eq = eq if bucket_eq is None else (bucket_eq & eq)
     id_lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
 
     hot = None
     if hot_bucket_threshold:
-        # the counts aggregate recomputes bl's (cheap) upstream once more —
+        # the counts aggregate recomputes bl's upstream once more —
         # deliberately NOT localCheckpoint'd: the eager barrier serializes
         # the caller's one-shot pipeline (gotcha: measured +3.3s on the 8k
         # graft) and grows the persistent-RDD set callers with cache=False
-        # contracts forbid.  Callers with an expensive upstream (simhash)
-        # already persist it on their side.
-        counts = bl.groupBy("band", "bkey").count()
-        hot = counts.where(F.col("count") > hot_bucket_threshold)
+        # contracts forbid.  When that upstream is EXPENSIVE (the MinHash
+        # signature pipeline — measured +35-90% on the LSH query family at
+        # detect_sample=1), detection instead runs on a deterministic
+        # id-hash sample of bl: a catastrophically hot bucket (the one that
+        # costs hours) is unmissable in a 5% sample, a borderline one
+        # (~threshold-sized, single-digit seconds of serialized work) may
+        # be missed — the right trade.  The 0.5 safety factor keeps the
+        # binomial thinning's lower tail from hiding true-hot buckets.
+        probe = bl
+        if detect_sample < 1.0:
+            mod = max(2, int(round(1.0 / detect_sample)))
+            probe = bl.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        counts = probe.groupBy(*key_cols).count()
+        cutoff = max(1, int(hot_bucket_threshold * min(detect_sample, 1.0) * 0.5))
+        hot = counts.where(F.col("count") > cutoff)
         # bounded driver action: the aggregated frame has one row per hot
         # bucket, and "hot" is by definition rare (a corpus where MANY
         # buckets are hot has degenerate fingerprints, not a skew problem)
         hot_rows = hot.orderBy(F.desc("count")).limit(1000).collect()
         hot = hot if hot_rows else None
 
+    if hot is not None and detect_sample < 1.0:
+        # scale the sampled max back to a full-corpus estimate for sizing s
+        hot_rows = [
+            {"count": int(r["count"] / detect_sample)} for r in hot_rows
+        ]
+
     if hot is None:
         a, b = bl.alias("a"), bl.alias("b")
-        return pair_select(a.join(b, bucket_eq & id_lt)).distinct()
+        return pair_select(a.join(b, bucket_eq & id_lt))
 
     n_max = max(r["count"] for r in hot_rows)
     # grid size: enough salt groups that (a) each group stays under the
@@ -631,9 +677,9 @@ def banded_hamming_pairs(
     # the quadratic work actually spreads (measured on a 20k-entry hot
     # band, 16 cores: s=3 → 3.2s, s=10 → 2.3s, unsalted 6.3s)
     s = min(32, max(-(-n_max // hot_bucket_threshold), 8))
-    hot_keys = F.broadcast(hot.select("band", "bkey"))
-    cold = bl.join(hot_keys, ["band", "bkey"], "left_anti")
-    hot_bl = bl.join(hot_keys, ["band", "bkey"], "left_semi").withColumn(
+    hot_keys = F.broadcast(hot.select(*key_cols))
+    cold = bl.join(hot_keys, key_cols, "left_anti")
+    hot_bl = bl.join(hot_keys, key_cols, "left_semi").withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
     )
     grid = F.explode(F.array(*[F.lit(j) for j in range(s)]))
@@ -645,9 +691,9 @@ def banded_hamming_pairs(
     # coalescing, which would otherwise merge the grid right back into one
     # task (cells are KILOBYTES of input hiding quadratic work; AQE sizes
     # by bytes — measured 3.4s coalesced vs 1.6s not, 6.5s unsalted)
-    nparts = int(fp_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    left = left.repartition(nparts, "band", "bkey", "salt", "cell_j")
-    right = right.repartition(nparts, "band", "bkey", "cell_i", "salt")
+    nparts = int(bl.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(nparts, *key_cols, "salt", "cell_j")
+    right = right.repartition(nparts, *key_cols, "cell_i", "salt")
     a, b = cold.alias("a"), cold.alias("b")
     cold_pairs = pair_select(a.join(b, bucket_eq & id_lt))
     a, b = left.alias("a"), right.alias("b")
@@ -660,7 +706,7 @@ def banded_hamming_pairs(
             & id_lt,
         )
     )
-    return cold_pairs.unionByName(hot_pairs).distinct()
+    return cold_pairs.unionByName(hot_pairs)
 
 
 # --------------------------------------------------------------------------

@@ -248,6 +248,31 @@ def test_banded_hamming_hot_bucket_salting_exact(spark):
     assert len(set(plain)) == len(plain)
 
 
+def test_minhash_lsh_hot_cluster_salting_exact(spark):
+    """r5: a large templated near-dup cluster agrees on all r minima, so
+    its docs collapse onto ONE band key — the LSH candidate join's hot
+    bucket (the docstring's old 'md5 keys are uniform → no skew' claim was
+    wrong for exactly this case).  The salt-grid route must return the
+    identical verified-pair set as the plain join."""
+    rows = [(i, "the same boilerplate template text body") for i in range(120)]
+    rows += [(1000 + i, f"unique document number {i} with its own words {i*7}")
+             for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    plain = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(df, "id", "text",
+                                         hot_bucket_threshold=0).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            df, "id", "text", hot_bucket_threshold=40, detect_sample=1.0
+        ).collect()
+    )
+    assert plain == salted and len(plain) >= 120 * 119 // 2
+    assert len(set(plain)) == len(plain)
+
+
 def test_connected_components_path_graph_crosses_stats_reset(spark):
     """r5 regression: localCheckpoint CARRIES Catalyst plan stats into the
     new LogicalRDD leaf, and each round's joins MULTIPLY them — the carried
