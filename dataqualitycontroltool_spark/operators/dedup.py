@@ -536,7 +536,13 @@ def simhash_pairs(
     sh = simhash_table(df, id_col, text_col, token_hash)
     if cache:
         sh = sh.persist()
-    return banded_hamming_pairs(sh, id_col, "simhash", max_hamming, bands, SIMHASH_BITS)
+    # with cache=False the simhash expression recomputes per plan branch —
+    # sample the hot-bucket detection pass so it costs ~5% of a scan, not a
+    # full extra fingerprint computation (cached frames keep exact counts)
+    return banded_hamming_pairs(
+        sh, id_col, "simhash", max_hamming, bands, SIMHASH_BITS,
+        detect_sample=1.0 if cache else 0.05,
+    )
 
 
 def banded_hamming_pairs(
@@ -547,6 +553,7 @@ def banded_hamming_pairs(
     bands: int = 4,
     bits: int = 64,
     hot_bucket_threshold: int = 8192,
+    detect_sample: float = 1.0,
 ) -> DataFrame:
     """Pairs of rows whose integer fingerprints differ in <= max_hamming
     bits: (id_a, id_b, hamming) — works for ANY int64 fingerprint column
@@ -607,7 +614,8 @@ def banded_hamming_pairs(
         )
 
     return _skew_safe_self_pairs(
-        bl, ("band", "bkey"), id_col, pair_select, hot_bucket_threshold
+        bl, ("band", "bkey"), id_col, pair_select, hot_bucket_threshold,
+        detect_sample,
     ).distinct()
 
 
@@ -634,7 +642,13 @@ def _skew_safe_self_pairs(
         bucket_eq = eq if bucket_eq is None else (bucket_eq & eq)
     id_lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
 
-    hot = None
+    if not 0.0 < detect_sample <= 1.0:
+        raise ValueError(
+            "detect_sample must be in (0, 1]; disable detection with "
+            "hot_bucket_threshold=0"
+        )
+
+    hot_rows = []
     if hot_bucket_threshold:
         # the counts aggregate recomputes bl's upstream once more —
         # deliberately NOT localCheckpoint'd: the eager barrier serializes
@@ -647,37 +661,47 @@ def _skew_safe_self_pairs(
         # costs hours) is unmissable in a 5% sample, a borderline one
         # (~threshold-sized, single-digit seconds of serialized work) may
         # be missed — the right trade.  The 0.5 safety factor keeps the
-        # binomial thinning's lower tail from hiding true-hot buckets.
-        probe = bl
+        # binomial thinning's lower tail from hiding true-hot buckets; at
+        # detect_sample=1 the counts are exact, so the raw threshold
+        # applies unmodified.
+        probe, rate = bl, 1.0
         if detect_sample < 1.0:
             mod = max(2, int(round(1.0 / detect_sample)))
+            rate = 1.0 / mod  # the ACTUAL sample rate, not the requested one
             probe = bl.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
         counts = probe.groupBy(*key_cols).count()
-        cutoff = max(1, int(hot_bucket_threshold * min(detect_sample, 1.0) * 0.5))
-        hot = counts.where(F.col("count") > cutoff)
+        cutoff = (hot_bucket_threshold if rate == 1.0
+                  else max(1, int(hot_bucket_threshold * rate * 0.5)))
         # bounded driver action: the aggregated frame has one row per hot
         # bucket, and "hot" is by definition rare (a corpus where MANY
         # buckets are hot has degenerate fingerprints, not a skew problem)
-        hot_rows = hot.orderBy(F.desc("count")).limit(1000).collect()
-        hot = hot if hot_rows else None
+        hot_rows = (
+            counts.where(F.col("count") > cutoff)
+            .orderBy(F.desc("count")).limit(1000).collect()
+        )
 
-    if hot is not None and detect_sample < 1.0:
-        # scale the sampled max back to a full-corpus estimate for sizing s
-        hot_rows = [
-            {"count": int(r["count"] / detect_sample)} for r in hot_rows
-        ]
-
-    if hot is None:
+    if not hot_rows:
         a, b = bl.alias("a"), bl.alias("b")
         return pair_select(a.join(b, bucket_eq & id_lt))
 
-    n_max = max(r["count"] for r in hot_rows)
+    n_max = int(max(r["count"] for r in hot_rows) / rate)
     # grid size: enough salt groups that (a) each group stays under the
     # threshold and (b) the s² cells exceed ~2× the shuffle parallelism so
     # the quadratic work actually spreads (measured on a 20k-entry hot
     # band, 16 cores: s=3 → 3.2s, s=10 → 2.3s, unsalted 6.3s)
     s = min(32, max(-(-n_max // hot_bucket_threshold), 8))
-    hot_keys = F.broadcast(hot.select(*key_cols))
+    # the hot keys are already on the driver (≤1000 rows) — rebuild the
+    # broadcast side from them instead of re-executing the counts plan
+    # (whose upstream may be the full signature pipeline) a second time.
+    # More than 1000 hot buckets means degenerate fingerprints, not skew;
+    # the hottest 1000 get the grid, the rest stay on the (still correct)
+    # plain path.
+    key_schema = counts.select(*key_cols).schema
+    hot_keys = F.broadcast(
+        bl.sparkSession.createDataFrame(
+            [[r[c] for c in key_cols] for r in hot_rows], key_schema
+        )
+    )
     cold = bl.join(hot_keys, key_cols, "left_anti")
     hot_bl = bl.join(hot_keys, key_cols, "left_semi").withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(s))
@@ -691,7 +715,10 @@ def _skew_safe_self_pairs(
     # coalescing, which would otherwise merge the grid right back into one
     # task (cells are KILOBYTES of input hiding quadratic work; AQE sizes
     # by bytes — measured 3.4s coalesced vs 1.6s not, 6.5s unsalted)
-    nparts = int(bl.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nparts = int(bl.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on AQE-managed deployments
+        nparts = bl.sparkSession.sparkContext.defaultParallelism
     left = left.repartition(nparts, *key_cols, "salt", "cell_j")
     right = right.repartition(nparts, *key_cols, "cell_i", "salt")
     a, b = cold.alias("a"), cold.alias("b")
@@ -722,8 +749,10 @@ _STATS_RESET_EVERY = 6
 def _reliable_reset(df: DataFrame, spill_root: str, rnd: int) -> DataFrame:
     """Round-trip a (small) iteration frame through parquet: truncates both
     lineage AND the carried Catalyst stats (a plain localCheckpoint keeps
-    the latter), and survives executor loss — the periodic reliable
-    checkpoint every iterative distributed graph algorithm needs."""
+    the latter).  The parquet copy is also a durable restart point for the
+    algorithm — though NOT per-block fault tolerance: the localCheckpoint
+    rounds between resets still die with an executor, the same as plain
+    localCheckpoint iteration."""
     path = f"{spill_root}/round_{rnd}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
@@ -732,12 +761,28 @@ def _reliable_reset(df: DataFrame, spill_root: str, rnd: int) -> DataFrame:
 def _spill_root(pairs: DataFrame) -> tuple[str, bool]:
     """(directory for reliable spills, created_locally).  Honors the
     session checkpoint dir when the deployment set one (shared storage on
-    a real cluster); falls back to a local tempdir on local mode."""
+    a real cluster); falls back to a driver-local tempdir ONLY on local
+    masters — on a cluster a driver-local path would scatter task files
+    across executor disks and silently lose the frame on re-read, so the
+    missing checkpoint dir is an error there.  A uuid component keeps
+    concurrent runs sharing one checkpoint dir from clobbering each
+    other's round files."""
     import tempfile
+    import uuid
 
-    base = pairs.sparkSession.sparkContext.getCheckpointDir()
+    sc = pairs.sparkSession.sparkContext
+    base = sc.getCheckpointDir()
     if base:
-        return f"{base.rstrip('/')}/dqc_cc_spill", False
+        return (
+            f"{base.rstrip('/')}/dqc_cc_spill/{uuid.uuid4().hex}",
+            False,
+        )
+    if not sc.master.startswith("local"):
+        raise RuntimeError(
+            "connected_components needs a shared checkpoint directory on a "
+            "cluster (sc.setCheckpointDir(...)): the periodic stats-reset "
+            "spill must be readable by the driver and every executor"
+        )
     return tempfile.mkdtemp(prefix="dqc_cc_spill_"), True
 
 
@@ -900,10 +945,21 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
+        # every round (including a reset round) ends in localCheckpoint, so
+        # the returned frame never depends on spill files — both kinds are
+        # disposable the moment the loop exits
         if spill_root and spill_is_local:
             import shutil
 
             shutil.rmtree(spill_root, ignore_errors=True)
+        elif spill_root:
+            try:  # best-effort: shared-checkpoint spills via the Hadoop FS
+                sess = pairs.sparkSession
+                jpath = sess._jvm.org.apache.hadoop.fs.Path(spill_root)
+                hconf = sess.sparkContext._jsc.hadoopConfiguration()
+                jpath.getFileSystem(hconf).delete(jpath, True)
+            except Exception:
+                pass
 
 
 def duplicate_clusters(

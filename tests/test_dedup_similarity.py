@@ -288,6 +288,27 @@ def test_connected_components_path_graph_crosses_stats_reset(spark):
     assert len(out) == 1 and out[0].comp == 0 and out[0]["count"] == 4000
 
 
+def test_connected_components_spills_into_checkpoint_dir(spark):
+    """When the session has a checkpoint dir (the cluster deployment), the
+    periodic stats-reset spill must land under it in a per-run unique
+    subdir (concurrent runs must not clobber each other's round files) and
+    be cleaned up once the loop exits.  There is no unset API, so the dir
+    stays for the rest of the session — later CC calls simply keep taking
+    the checkpoint-dir spill path, which is the cluster behavior anyway."""
+    import os
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="dqc_test_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(999)],
+                                  "id_a long, id_b long")
+    out = dedup.connected_components(pairs).groupBy("comp").count().collect()
+    assert len(out) == 1 and out[0]["count"] == 1000
+    spill_base = os.path.join(ckpt, "dqc_cc_spill")
+    # the uuid run-dir was deleted best-effort after the loop
+    assert (not os.path.exists(spill_base)) or os.listdir(spill_base) == []
+
+
 def test_blocked_cosine_rejects_string_ids(spark):
     """String ids would silently cast to NULL blocks — must raise instead."""
     df = spark.createDataFrame([("a", [1.0, 0.0])], "img string, v array<double>")
